@@ -1,0 +1,74 @@
+"""Elementwise-op tests against hand-rolled numpy references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_tpu.ops import (apply_rope, compute_rope_cache, get_act_fn,
+                          layer_norm, rms_norm, silu_and_mul)
+
+
+def test_rms_norm_matches_reference():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((7, 64), dtype=np.float32)
+    w = rng.standard_normal(64, dtype=np.float32)
+    ref = x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * w
+    out = rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_layer_norm_matches_reference():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((5, 32), dtype=np.float32)
+    w = rng.standard_normal(32, dtype=np.float32)
+    b = rng.standard_normal(32, dtype=np.float32)
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    ref = (x - mean) / np.sqrt(var + 1e-5) * w + b
+    out = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_silu_and_mul():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 16), dtype=np.float32)
+    gate, up = x[:, :8], x[:, 8:]
+    ref = gate / (1 + np.exp(-gate)) * up
+    out = silu_and_mul(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_act_registry():
+    x = jnp.linspace(-2, 2, 8)
+    for name in ("gelu", "gelu_new", "gelu_fast", "relu"):
+        y = get_act_fn(name)(x)
+        assert y.shape == x.shape
+    with pytest.raises(ValueError):
+        get_act_fn("nope")
+
+
+@pytest.mark.parametrize("rotary_dim,head_dim", [(16, 16), (8, 16)])
+def test_rope_matches_rotate_half_reference(rotary_dim, head_dim):
+    """HF-style rotate_half reference (the reference's own test style,
+    /root/reference/tests/kernels/test_pos_encoding.py:29-60)."""
+    rng = np.random.default_rng(3)
+    T, H = 5, 3
+    x = rng.standard_normal((T, H, head_dim), dtype=np.float32)
+    positions = np.array([0, 3, 1, 7, 2], dtype=np.int32)
+    base = 10000.0
+
+    cos_c, sin_c = compute_rope_cache(rotary_dim, 16, base)
+    out = apply_rope(jnp.asarray(x), jnp.asarray(positions), cos_c, sin_c,
+                     rotary_dim)
+
+    # Reference: rotate_half on the rotary prefix.
+    inv_freq = 1.0 / (base**(np.arange(0, rotary_dim, 2) / rotary_dim))
+    t = positions[:, None] * inv_freq[None, :]  # [T, rot/2]
+    cos = np.cos(t)[:, None, :]
+    sin = np.sin(t)[:, None, :]
+    x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+    x1, x2 = x_rot[..., :rotary_dim // 2], x_rot[..., rotary_dim // 2:]
+    ref_rot = np.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    ref = np.concatenate([ref_rot, x_pass], axis=-1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)

@@ -1,0 +1,130 @@
+"""Attention for the paged KV cache.
+
+Capability parity:
+- decode: /root/reference/csrc/attention/attention_kernels.cu
+  (single_query_cached_kv_attention — one query token per sequence
+  reading scattered KV pages through a block table, fp32 softmax).
+- prefill: xformers memory_efficient_attention with a block-diagonal
+  causal mask over packed variable-length prompts
+  (/root/reference/vllm/model_executor/layers/attention.py:50-70).
+
+Two implementations each: a pure-XLA reference (used for testing and
+as the fallback path) and a Pallas TPU kernel (vllm_tpu/ops/pallas/*)
+selected by ``impl``. Group-query attention is supported throughout
+(H == KVH for all v0.1.0-era models).
+
+Padding conventions (static shapes):
+- decode: padded batch rows carry context_len == 0 and garbage block
+  tables; their outputs are finite garbage, discarded by the caller.
+- prefill: padding tokens carry seq_id == -1; they only attend among
+  themselves, outputs discarded.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # "auto": pallas on TPU, xla elsewhere (tests force xla/interpret).
+    if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    context_lens: jnp.ndarray,
+    scale: float,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """One query token per sequence against its paged KV history.
+
+    q: [B, H, D]; k_cache/v_cache: [KVH, NB, BS, D];
+    block_tables: [B, MAX_BLOCKS] physical block ids (padded rows
+    arbitrary); context_lens: [B] number of valid keys (including the
+    token written this step). Returns [B, H, D].
+    """
+    if _use_pallas(impl):
+        from vllm_tpu.ops.pallas.paged_attention import (
+            pallas_paged_decode_attention)
+        return pallas_paged_decode_attention(q, k_cache, v_cache,
+                                             block_tables, context_lens,
+                                             scale)
+    return _xla_paged_decode_attention(q, k_cache, v_cache, block_tables,
+                                       context_lens, scale)
+
+
+def _xla_paged_decode_attention(q, k_cache, v_cache, block_tables,
+                                context_lens, scale):
+    B, H, D = q.shape
+    KVH, NB, BS, _ = k_cache.shape
+    G = H // KVH
+    MB = block_tables.shape[1]
+    S = MB * BS
+
+    tables = jnp.clip(block_tables, 0, NB - 1)
+    # [KVH, B, MB, BS, D] -> [B, KVH, S, D]
+    k = k_cache[:, tables].transpose(1, 0, 2, 3, 4).reshape(B, KVH, S, D)
+    v = v_cache[:, tables].transpose(1, 0, 2, 3, 4).reshape(B, KVH, S, D)
+
+    qg = q.reshape(B, KVH, G, D).astype(jnp.float32)
+    scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    positions = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, S), 3)
+    mask = positions < context_lens[:, None, None, None]
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,bksd->bkgd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    seq_ids: jnp.ndarray,
+    scale: float,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Causal attention over packed variable-length prompts.
+
+    q: [T, H, D]; k/v: [T, KVH, D]; seq_ids: [T] segment id per token
+    (-1 for padding). Token i attends to token j iff they share a
+    segment and j <= i. Returns [T, H, D].
+    """
+    if _use_pallas(impl):
+        from vllm_tpu.ops.pallas.flash_prefill import pallas_prefill_attention
+        return pallas_prefill_attention(q, k, v, seq_ids, scale)
+    return _xla_prefill_attention(q, k, v, seq_ids, scale)
+
+
+def _xla_prefill_attention(q, k, v, seq_ids, scale):
+    T, H, D = q.shape
+    KVH = k.shape[1]
+    G = H // KVH
+
+    qg = q.reshape(T, KVH, G, D).astype(jnp.float32)
+    scores = jnp.einsum("qkgd,skd->kgqs", qg, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    same_seq = seq_ids[:, None] == seq_ids[None, :]
+    causal = (jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+              >= jax.lax.broadcasted_iota(jnp.int32, (T, T), 1))
+    mask = same_seq & causal
+    scores = jnp.where(mask[None, None], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("kgqs,skd->qkgd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(T, H, D).astype(q.dtype)

@@ -1,0 +1,99 @@
+"""Batched on-device token sampling.
+
+Capability parity: /root/reference/vllm/model_executor/layers/sampler.py
+— presence/frequency penalties from output-token counts
+(sampler.py:139-181), temperature scaling, fp32 softmax + logprobs,
+top-p/top-k via sort + cumulative-sum masking (sampler.py:231-255),
+greedy / multinomial(best_of) sampling, and top-k logprobs per token
+(sampler.py:258-276).
+
+Re-designed: the reference loops over sequence groups in Python on the
+hot path (sampler.py:361-423). Here ALL rows sample in one fused XLA
+program with per-row parameter vectors; the host only does beam-search
+bookkeeping (from the returned top-k logprobs) and
+SequenceOutputs assembly. Padded rows sample garbage and are discarded
+by the caller.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_SAMPLING_EPS = 1e-5
+# Padding value for output-token history (out of vocab range -> the
+# count scatter drops it).
+PAD_TOKEN = jnp.iinfo(jnp.int32).max
+
+
+class SamplingTensors(NamedTuple):
+    """Per-row sampling parameters, padded to the batch bucket."""
+    temperature: jnp.ndarray  # [B] f32
+    top_p: jnp.ndarray  # [B] f32
+    top_k: jnp.ndarray  # [B] i32 (vocab_size = disabled)
+    presence_penalty: jnp.ndarray  # [B] f32
+    frequency_penalty: jnp.ndarray  # [B] f32
+    output_tokens: jnp.ndarray  # [B, L] i32, PAD_TOKEN-padded history
+
+
+class SamplerOutput(NamedTuple):
+    samples: jnp.ndarray  # [S, B] sampled token ids
+    sample_logprobs: jnp.ndarray  # [S, B] logprob of each sample
+    topk_ids: jnp.ndarray  # [B, K]
+    topk_logprobs: jnp.ndarray  # [B, K]
+
+
+def sample(
+    logits: jnp.ndarray,
+    tensors: SamplingTensors,
+    key: jax.Array,
+    num_samples: int,
+    num_topk: int,
+) -> SamplerOutput:
+    """Sample tokens for every row of a [B, V] logits batch.
+
+    ``num_samples`` covers parallel sampling (best_of > 1 on prompt
+    steps); ``num_topk`` covers requested logprobs and beam-search
+    candidate expansion (host picks beams from topk_ids/logprobs).
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+
+    # Presence/frequency penalties from output-token counts.
+    counts = jnp.zeros((B, V), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, tensors.output_tokens.shape, 0)
+    counts = counts.at[rows, tensors.output_tokens].add(1.0, mode="drop")
+    logits = logits - tensors.frequency_penalty[:, None] * counts
+    logits = logits - tensors.presence_penalty[:, None] * (counts > 0)
+
+    greedy = tensors.temperature < _SAMPLING_EPS
+    temp = jnp.where(greedy, 1.0, tensors.temperature)
+    logits = logits / temp[:, None]
+
+    # Logprobs are reported pre-top-p/k filtering (reference semantics).
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    topk_logprobs, topk_ids = jax.lax.top_k(logprobs, num_topk)
+
+    # Top-p/top-k filtering in sorted space, then categorical sampling.
+    sorted_logits, sorted_ids = jax.lax.top_k(logits, V)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumsum = jnp.cumsum(probs, axis=-1)
+    # Keep a token while the mass *before* it is < top_p (always keeps
+    # at least the most likely token).
+    top_p_mask = (cumsum - probs) > tensors.top_p[:, None]
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    top_k_mask = ranks >= tensors.top_k[:, None]
+    filtered = jnp.where(top_p_mask | top_k_mask, -jnp.inf, sorted_logits)
+
+    sampled_ranks = jax.random.categorical(key, filtered,
+                                           shape=(num_samples, B))
+    sampled = jnp.take_along_axis(sorted_ids, sampled_ranks.T,
+                                  axis=-1).T  # [S, B]
+    # Greedy rows take the argmax instead.
+    sampled = jnp.where(greedy[None, :], sorted_ids[:, 0][None, :], sampled)
+
+    sample_logprobs = jnp.take_along_axis(logprobs, sampled.T, axis=-1).T
+    return SamplerOutput(samples=sampled,
+                         sample_logprobs=sample_logprobs,
+                         topk_ids=topk_ids,
+                         topk_logprobs=topk_logprobs)
