@@ -1,0 +1,86 @@
+"""Shared substrate for the functional model zoo.
+
+Models here are not nn.Module graphs (the reference's
+torch/Megatron-layer design, /root/reference/vllm/model_executor/) but
+pure functions over parameter pytrees — the idiomatic JAX shape:
+``forward(params, batch, kv_cache) -> (hidden, kv_cache)`` traced once
+per static batch bucket by the executor, with tensor parallelism
+expressed as PartitionSpecs on the param tree (GSPMD inserts the
+collectives the reference hand-wires in
+parallel_utils/tensor_parallel/).
+
+Batch descriptors (parity: InputMetadata,
+/root/reference/vllm/model_executor/input_metadata.py):
+
+- PrefillBatch: packed variable-length prompts, one flat token axis.
+- DecodeBatch: one token per running sequence + paged-KV lookup state.
+
+Both are fully padded/bucketed; padding tokens carry PAD_SLOT slot ids
+(KV writes dropped) and seq_id -1 / context_len 0 (attention masked).
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from vllm_tpu.ops import paged_decode_attention, prefill_attention, write_kv
+
+
+class PrefillBatch(NamedTuple):
+    token_ids: jnp.ndarray  # [T] i32
+    positions: jnp.ndarray  # [T] i32
+    seq_ids: jnp.ndarray  # [T] i32 segment ids, -1 = padding
+    slot_mapping: jnp.ndarray  # [T] i32 flat KV slots, PAD_SLOT = padding
+    logits_indices: jnp.ndarray  # [S] i32 last-token index per sequence
+
+
+class DecodeBatch(NamedTuple):
+    token_ids: jnp.ndarray  # [B] i32
+    positions: jnp.ndarray  # [B] i32
+    slot_mapping: jnp.ndarray  # [B] i32
+    block_tables: jnp.ndarray  # [B, MAX_BLOCKS] i32
+    context_lens: jnp.ndarray  # [B] i32, 0 = padding row
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray,
+          b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w (+ b). Weights stored [in, out] (transposed from torch)."""
+    y = x @ w
+    if b is not None:
+        y = y + b
+    return y
+
+
+def attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    layer_idx: int,
+    batch,
+    scale: float,
+):
+    """Write this step's K/V into the paged cache, then attend.
+
+    q: [T, H, D]; k/v: [T, KVH, D]. Prefill attends within the packed
+    batch (fresh prompts have no prior context); decode reads the
+    paged cache, which now includes the token written this step.
+    Returns ([T, H, D], new kv_cache).
+    """
+    kv_cache = write_kv(kv_cache, layer_idx, k, v, batch.slot_mapping)
+    if isinstance(batch, PrefillBatch):
+        out = prefill_attention(q, k, v, batch.seq_ids, scale)
+    else:
+        out = paged_decode_attention(q, kv_cache[layer_idx, 0],
+                                     kv_cache[layer_idx, 1],
+                                     batch.block_tables, batch.context_lens,
+                                     scale)
+    return out, kv_cache
+
+
+def gather_last_hidden(hidden: jnp.ndarray, batch) -> jnp.ndarray:
+    """Rows whose next token gets sampled: every row for decode, the
+    per-sequence last prompt token for prefill."""
+    if isinstance(batch, PrefillBatch):
+        return hidden[batch.logits_indices]
+    return hidden
