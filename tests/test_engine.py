@@ -1,0 +1,200 @@
+"""End-to-end engine tests on a tiny OPT checkpoint written to disk
+(exercises config+weight loading, bucketed prefill/decode programs,
+on-device sampling, continuous batching, preemption, beam search)."""
+
+import numpy as np
+import pytest
+import torch
+
+from vllm_tpu import LLM, SamplingParams
+
+from .utils import MockTokenizer
+
+VOCAB = 128
+MAX_LEN = 48
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    import transformers as tf
+    cfg = tf.OPTConfig(vocab_size=VOCAB, hidden_size=32, ffn_dim=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       max_position_embeddings=MAX_LEN,
+                       word_embed_proj_dim=32, do_layer_norm_before=True)
+    torch.manual_seed(7)
+    hf_model = tf.OPTForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("opt-tiny")
+    hf_model.save_pretrained(path, safe_serialization=True)
+    return str(path), hf_model
+
+
+def make_llm(checkpoint, **kwargs):
+    path, _ = checkpoint
+    defaults = dict(
+        tokenizer=MockTokenizer(VOCAB),
+        dtype="float32",
+        block_size=4,
+        num_device_blocks_override=64,
+        swap_space=0.001,
+        max_model_len=MAX_LEN,
+        max_num_batched_tokens=32,
+        max_num_seqs=8,
+        max_prefill_seqs=4,
+    )
+    defaults.update(kwargs)
+    return LLM(model=path, **defaults)
+
+
+def hf_greedy(hf_model, prompt_ids, n_tokens):
+    out = hf_model.generate(torch.tensor([prompt_ids]),
+                            max_new_tokens=n_tokens, do_sample=False,
+                            eos_token_id=None, pad_token_id=0)
+    return out[0].tolist()[len(prompt_ids):]
+
+
+@pytest.fixture(scope="module")
+def llm(checkpoint):
+    return make_llm(checkpoint)
+
+
+def test_greedy_matches_hf(checkpoint, llm):
+    _, hf_model = checkpoint
+    prompt = "hello tpu"
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    [out] = llm.generate(prompt, params, use_tqdm=False)
+    prompt_ids = MockTokenizer(VOCAB).encode(prompt)
+    expected = hf_greedy(hf_model, prompt_ids, 8)
+    assert out.outputs[0].token_ids == expected
+    assert out.finished
+    assert out.outputs[0].finish_reason == "length"
+    assert out.outputs[0].text == "".join(chr(t) for t in expected)
+
+
+def test_continuous_batch_greedy_matches_hf(checkpoint, llm):
+    _, hf_model = checkpoint
+    prompts = ["a", "bc bc", "hello world", "xyz q", "m"]
+    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    outs = llm.generate(prompts, params, use_tqdm=False)
+    assert len(outs) == len(prompts)
+    tok = MockTokenizer(VOCAB)
+    for prompt, out in zip(prompts, outs):
+        expected = hf_greedy(hf_model, tok.encode(prompt), 6)
+        assert out.outputs[0].token_ids == expected, prompt
+
+
+def test_parallel_sampling(llm):
+    params = SamplingParams(n=4, temperature=0.9, top_p=0.9, max_tokens=5,
+                            ignore_eos=True)
+    [out] = llm.generate("sample me", params, use_tqdm=False)
+    assert len(out.outputs) == 4
+    for c in out.outputs:
+        assert len(c.token_ids) == 5
+    assert {c.index for c in out.outputs} == {0, 1, 2, 3}
+
+
+def test_top_k_sampling(llm):
+    params = SamplingParams(temperature=1.2, top_k=2, max_tokens=6,
+                            ignore_eos=True)
+    [out] = llm.generate("k test", params, use_tqdm=False)
+    assert len(out.outputs[0].token_ids) == 6
+
+
+def test_beam_search(checkpoint, llm):
+    _, hf_model = checkpoint
+    params = SamplingParams(use_beam_search=True, best_of=4, n=2,
+                            temperature=0.0, max_tokens=6, ignore_eos=True)
+    [out] = llm.generate("beam beam", params, use_tqdm=False)
+    assert len(out.outputs) == 2
+    # Outputs come back best-first by cumulative logprob.
+    assert (out.outputs[0].cumulative_logprob
+            >= out.outputs[1].cumulative_logprob)
+    # Beam-0 must dominate the greedy path's cumulative logprob: greedy
+    # is one of the candidates beam search explores.
+    tok = MockTokenizer(VOCAB)
+    greedy = hf_greedy(hf_model, tok.encode("beam beam"), 6)
+    with torch.no_grad():
+        ids = tok.encode("beam beam") + greedy
+        logits = hf_model(torch.tensor([ids])).logits[0].float()
+        logprobs = torch.log_softmax(logits, -1)
+        greedy_lp = sum(
+            float(logprobs[len(tok.encode('beam beam')) + i - 1, t])
+            for i, t in enumerate(greedy))
+    assert out.outputs[0].cumulative_logprob >= greedy_lp - 1e-3
+
+
+def test_logprobs_returned(llm):
+    params = SamplingParams(temperature=0.0, max_tokens=4, logprobs=3,
+                            ignore_eos=True)
+    [out] = llm.generate("lp", params, use_tqdm=False)
+    lps = out.outputs[0].logprobs
+    assert lps is not None and len(lps) == 4
+    for step_lps, token in zip(lps, out.outputs[0].token_ids):
+        assert token in step_lps
+        assert len(step_lps) >= 3
+
+
+def test_stop_string(checkpoint, llm):
+    _, hf_model = checkpoint
+    prompt = "stop here"
+    expected = hf_greedy(hf_model, MockTokenizer(VOCAB).encode(prompt), 8)
+    stop_char = chr(expected[3])
+    params = SamplingParams(temperature=0.0, max_tokens=8, stop=[stop_char],
+                            ignore_eos=True)
+    [out] = llm.generate(prompt, params, use_tqdm=False)
+    assert out.outputs[0].finish_reason == "stop"
+    assert not out.outputs[0].text.endswith(stop_char)
+    assert len(out.outputs[0].token_ids) <= 4
+
+
+def test_eos_stops_generation(checkpoint):
+    path, hf_model = checkpoint
+    # Find the first greedy token and make it the EOS.
+    first = hf_greedy(hf_model, MockTokenizer(VOCAB).encode("eos"), 1)[0]
+    llm = make_llm(checkpoint, tokenizer=MockTokenizer(VOCAB,
+                                                       eos_token_id=first))
+    params = SamplingParams(temperature=0.0, max_tokens=8)
+    [out] = llm.generate("eos", params, use_tqdm=False)
+    assert out.outputs[0].finish_reason == "stop"
+    assert len(out.outputs[0].token_ids) == 1
+
+
+def test_preemption_recompute_preserves_output(checkpoint):
+    """A block pool too small for both requests forces preemption by
+    recompute; final outputs must still match HF greedy."""
+    _, hf_model = checkpoint
+    llm = make_llm(checkpoint, num_device_blocks_override=14)
+    prompts = ["aaaa bbbb cccc", "dddd eeee ffff"]
+    params = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate(prompts, params, use_tqdm=False)
+    tok = MockTokenizer(VOCAB)
+    for prompt, out in zip(prompts, outs):
+        expected = hf_greedy(hf_model, tok.encode(prompt), 10)
+        assert out.outputs[0].token_ids == expected, prompt
+
+
+def test_abort_request(checkpoint):
+    llm = make_llm(checkpoint)
+    engine = llm.llm_engine
+    engine.add_request("keep", "hello", SamplingParams(temperature=0.0,
+                                                       max_tokens=4,
+                                                       ignore_eos=True))
+    engine.add_request("kill", "world", SamplingParams(temperature=0.0,
+                                                       max_tokens=4,
+                                                       ignore_eos=True))
+    engine.step()
+    engine.abort_request("kill")
+    finished = []
+    while engine.has_unfinished_requests():
+        finished.extend(o.request_id for o in engine.step() if o.finished)
+    assert finished == ["keep"]
+
+
+def test_ignored_overlong_prompt_reported(checkpoint):
+    llm = make_llm(checkpoint)
+    engine = llm.llm_engine
+    engine.add_request("big", "x" * (MAX_LEN + 10),
+                       SamplingParams(temperature=0.0, max_tokens=4))
+    outs = engine.step()
+    assert len(outs) == 1 and outs[0].finished
+    assert outs[0].outputs[0].finish_reason == "length"
+    assert not engine.has_unfinished_requests()

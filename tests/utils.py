@@ -1,7 +1,33 @@
 """Shared test helpers."""
 
 import time
-from typing import List, Optional
+from typing import List, Optional, Union
+
+
+class MockTokenizer:
+    """Char-level tokenizer over a small vocab for engine tests."""
+
+    def __init__(self, vocab_size: int = 128, eos_token_id=None):
+        self.vocab_size = vocab_size
+        self.eos_token_id = eos_token_id
+
+    def encode(self, text: str) -> List[int]:
+        return [ord(c) % self.vocab_size for c in text]
+
+    def convert_ids_to_tokens(self, ids: Union[int, List[int]],
+                              skip_special_tokens: bool = False):
+        if isinstance(ids, int):
+            return chr(ids)
+        return [chr(i) for i in ids]
+
+    def convert_tokens_to_string(self, tokens: List[str]) -> str:
+        return "".join(tokens)
+
+    def decode(self, ids: List[int], **kwargs) -> str:
+        return "".join(chr(i) for i in ids)
+
+    def get_added_vocab(self):
+        return {}
 
 from vllm_tpu.sampling_params import SamplingParams
 from vllm_tpu.sequence import Sequence, SequenceGroup

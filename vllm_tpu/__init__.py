@@ -1,0 +1,25 @@
+"""vllm_tpu: a TPU-native LLM serving engine.
+
+Capability parity with vLLM v0.1.0's public API
+(/root/reference/vllm/__init__.py), re-designed for JAX/XLA/Pallas on
+TPU pod slices. See SURVEY.md for the architecture map.
+"""
+
+from vllm_tpu.engine.arg_utils import AsyncEngineArgs, EngineArgs
+from vllm_tpu.engine.llm_engine import LLMEngine
+from vllm_tpu.entrypoints.llm import LLM
+from vllm_tpu.outputs import CompletionOutput, RequestOutput
+from vllm_tpu.sampling_params import SamplingParams
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LLM",
+    "SamplingParams",
+    "RequestOutput",
+    "CompletionOutput",
+    "LLMEngine",
+    "EngineArgs",
+    "AsyncEngineArgs",
+    "__version__",
+]

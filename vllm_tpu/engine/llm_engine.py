@@ -1,0 +1,180 @@
+"""The serving engine: request intake -> scheduler -> executor -> outputs.
+
+Capability parity: /root/reference/vllm/engine/llm_engine.py —
+construction (tokenizer, workers, memory profile -> block counts,
+scheduler, llm_engine.py:42-127), add_request tokenize + best_of
+sequences (:143-183), and the step loop (:201-308): schedule, execute,
+apply sampled tokens, incremental detokenize, stop-string /
+max-tokens / EOS checks, RequestOutput assembly.
+
+TPU re-design: one in-process TPUWorker drives the whole mesh (no Ray
+actor fan-out / result-equality assertions, :281-308), and a step is a
+typed PREFILL/DECODE program rather than a mixed batch.
+"""
+
+import time
+from typing import Any, List, Optional
+
+from vllm_tpu.config import (CacheConfig, ModelConfig, ParallelConfig,
+                             SchedulerConfig)
+from vllm_tpu.core.scheduler import Scheduler
+from vllm_tpu.engine.arg_utils import EngineArgs
+from vllm_tpu.engine.tokenizer_utils import (detokenize_incrementally,
+                                             get_tokenizer)
+from vllm_tpu.logger import init_logger
+from vllm_tpu.outputs import RequestOutput
+from vllm_tpu.sampling_params import SamplingParams
+from vllm_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
+from vllm_tpu.utils import Counter
+from vllm_tpu.worker.worker import TPUWorker
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+    """Synchronous engine for offline batched generation; AsyncLLMEngine
+    wraps it for serving."""
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        log_stats: bool = True,
+        tokenizer: Any = None,
+    ) -> None:
+        logger.info(
+            "Initializing engine: model=%r, dtype=%s, kv_cache=%s, "
+            "tp=%d, block_size=%d, max_model_len=%d",
+            model_config.model, model_config.dtype,
+            cache_config.kv_cache_dtype,
+            parallel_config.tensor_parallel_size, cache_config.block_size,
+            scheduler_config.max_model_len)
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.log_stats = log_stats
+
+        self.tokenizer = tokenizer if tokenizer is not None else get_tokenizer(
+            model_config.tokenizer, model_config.tokenizer_mode)
+        self.seq_counter = Counter()
+
+        self.worker = TPUWorker(model_config, cache_config, parallel_config,
+                                scheduler_config)
+        num_device, num_cpu = self.worker.profile_num_available_blocks()
+        cache_config.num_device_blocks = num_device
+        cache_config.num_cpu_blocks = num_cpu
+        self.worker.init_cache()
+
+        self.scheduler = Scheduler(scheduler_config, cache_config, log_stats)
+
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs,
+                         tokenizer: Any = None) -> "LLMEngine":
+        configs = engine_args.create_engine_configs()
+        return cls(*configs,
+                   log_stats=not engine_args.disable_log_stats,
+                   tokenizer=tokenizer)
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str],
+        sampling_params: SamplingParams,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+    ) -> None:
+        if arrival_time is None:
+            arrival_time = time.time()
+        if prompt_token_ids is None:
+            assert prompt is not None
+            prompt_token_ids = self.tokenizer.encode(prompt)
+
+        block_size = self.cache_config.block_size
+        seqs = [
+            Sequence(next(self.seq_counter), prompt, prompt_token_ids,
+                     block_size) for _ in range(sampling_params.best_of)
+        ]
+        seq_group = SequenceGroup(request_id, seqs, sampling_params,
+                                  arrival_time)
+        self.scheduler.add_seq_group(seq_group)
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort_seq_group(request_id)
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    # -- the iteration -------------------------------------------------------
+
+    def step(self) -> List[RequestOutput]:
+        """One engine iteration: schedule, run the device program,
+        apply outputs, detokenize, check stops."""
+        metadata_list, sched_out = self.scheduler.schedule()
+
+        has_work = (metadata_list or sched_out.blocks_to_swap_in
+                    or sched_out.blocks_to_swap_out or sched_out.blocks_to_copy)
+        if not has_work and not sched_out.ignored_seq_groups:
+            return []
+
+        seq_outputs = self.worker.execute_step(metadata_list, sched_out)
+
+        scheduled_groups = (self.scheduler.update(seq_outputs)
+                            if seq_outputs else [])
+        for seq_group in scheduled_groups:
+            self._decode_sequences(seq_group)
+            self._stop_sequences(seq_group)
+        self.scheduler.free_finished_seq_groups()
+
+        request_outputs = [
+            RequestOutput.from_seq_group(g)
+            for g in scheduled_groups + sched_out.ignored_seq_groups
+        ]
+        return request_outputs
+
+    # -- detokenization + stopping --------------------------------------------
+
+    def _decode_sequences(self, seq_group: SequenceGroup) -> None:
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            if seq.prev_tokens is None:
+                seq.prev_tokens = []
+            new_token, new_text = detokenize_incrementally(
+                self.tokenizer, seq.prev_tokens, seq.get_last_token_id(),
+                skip_special_tokens=True)
+            if new_token is not None:
+                seq.prev_tokens.append(new_token)
+                seq.output_text = new_text
+
+    def _stop_sequences(self, seq_group: SequenceGroup) -> None:
+        params = seq_group.sampling_params
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            stopped = False
+            for stop_str in params.stop:
+                if seq.output_text.endswith(stop_str):
+                    # Cut the stop string out of the visible text.
+                    seq.output_text = seq.output_text[:-len(stop_str)]
+                    self.scheduler.free_seq(seq,
+                                            SequenceStatus.FINISHED_STOPPED)
+                    stopped = True
+                    break
+            if stopped:
+                continue
+            if (not params.ignore_eos and getattr(
+                    self.tokenizer, "eos_token_id", None) is not None
+                    and seq.get_last_token_id() == self.tokenizer.eos_token_id):
+                self.scheduler.free_seq(seq, SequenceStatus.FINISHED_STOPPED)
+                continue
+            if seq.get_len() >= self.scheduler_config.max_model_len:
+                self.scheduler.free_seq(
+                    seq, SequenceStatus.FINISHED_LENGTH_CAPPED)
+                continue
+            if seq.get_output_len() >= params.max_tokens:
+                self.scheduler.free_seq(
+                    seq, SequenceStatus.FINISHED_LENGTH_CAPPED)

@@ -1,0 +1,51 @@
+"""Device-mesh construction and sharding helpers.
+
+Capability parity: /root/reference/vllm/model_executor/parallel_utils/
+parallel_state.py (Megatron process groups over NCCL) +
+tensor_parallel/layers.py (column/row-parallel layers) — replaced
+wholesale by GSPMD: a Mesh with a ``model`` axis + PartitionSpecs on
+the parameter pytree. XLA inserts and overlaps the all-reduces the
+reference hand-captures in CUDA graphs (parallel_state.py:506-556).
+
+The mesh reserves a ``data`` axis for future multi-slice replicas and
+keeps ``model`` innermost so TP collectives ride ICI.
+"""
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+# KV cache [L, 2, KVH, NB, BS, D]: shard kv-heads over the model axis.
+KV_CACHE_SPEC = P(None, None, "model", None, None, None)
+
+
+def build_mesh(tensor_parallel_size: int = 1,
+               devices: Optional[list] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if tensor_parallel_size > len(devices):
+        raise ValueError(
+            f"tensor_parallel_size={tensor_parallel_size} exceeds the "
+            f"{len(devices)} visible devices.")
+    devs = np.array(devices[:tensor_parallel_size]).reshape(
+        1, tensor_parallel_size)
+    return Mesh(devs, ("data", "model"))
+
+
+def shard_params(params: Any, shardings: Any, mesh: Mesh) -> Any:
+    """device_put every param leaf with its PartitionSpec."""
+    def place(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, shardings)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

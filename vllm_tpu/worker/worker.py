@@ -1,0 +1,556 @@
+"""TPU executor: owns device state and runs scheduler-planned steps.
+
+Capability parity: /root/reference/vllm/worker/worker.py (input
+preparation worker.py:128-237, execute_model worker.py:239-283, memory
+profiling worker.py:59-118) + /root/reference/vllm/worker/cache_engine.py
+(KV allocation, swap/copy) + the device half of
+/root/reference/vllm/model_executor/layers/sampler.py.
+
+TPU re-design:
+- One process drives the whole mesh; tensor parallelism is GSPMD
+  shardings on params/KV, not per-GPU worker processes + NCCL.
+- Step programs are jitted per static bucket (token count / batch size
+  / block-table width / sample & topk counts) instead of the
+  reference's pad-to-8 dynamic shapes; the KV cache is a single
+  donated array so every step updates it in place.
+- Memory profiling reads XLA's compiled memory analysis instead of
+  sampling torch allocator peaks — static allocation makes the block
+  count exact rather than empirical.
+- Sampling runs on device for ALL rows at once; the host only
+  assembles SequenceOutputs and does beam bookkeeping from returned
+  top-k logprobs.
+"""
+
+import functools
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_tpu.config import (CacheConfig, ModelConfig, ParallelConfig,
+                             SchedulerConfig)
+from vllm_tpu.core.scheduler import SchedulerOutputs, StepKind
+from vllm_tpu.logger import init_logger
+from vllm_tpu.models.common import DecodeBatch, PrefillBatch
+from vllm_tpu.models.model_loader import get_model
+from vllm_tpu.ops.cache import (PAD_SLOT, copy_blocks, gather_blocks,
+                                kv_cache_shape, scatter_blocks)
+from vllm_tpu.ops.sampling import PAD_TOKEN, SamplingTensors, sample
+from vllm_tpu.parallel.mesh import KV_CACHE_SPEC, build_mesh, shard_params
+from vllm_tpu.sampling_params import SamplingParams
+from vllm_tpu.sequence import SequenceGroupMetadata, SequenceOutputs
+from vllm_tpu.utils import cdiv, make_buckets, pick_bucket
+
+logger = init_logger(__name__)
+
+SAMPLE_BUCKETS = [1, 2, 4, 8, 16, 32]
+TOPK_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
+PAIR_BUCKETS = [8, 16, 32, 64, 128, 256]
+
+_DEFAULT_HBM_BYTES = 16 * (1 << 30)  # v5e/v5p-lite chip
+
+
+class TPUWorker:
+    """Single-controller executor over a (possibly multi-chip) mesh."""
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        cache_config: CacheConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+    ) -> None:
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+
+        self.mesh = build_mesh(parallel_config.tensor_parallel_size)
+        self.model, params = get_model(model_config)
+        self.params = shard_params(params, self.model.param_shardings(),
+                                   self.mesh)
+        self.weights_bytes = sum(
+            leaf.nbytes for leaf in jax.tree.leaves(self.params))
+
+        hf = model_config.hf_config
+        self.num_layers = hf.num_hidden_layers
+        self.num_kv_heads = getattr(hf, "num_key_value_heads",
+                                    hf.num_attention_heads)
+        self.head_dim = model_config.get_head_size()
+        self.block_size = cache_config.block_size
+        if cache_config.kv_cache_dtype == "int8":
+            raise NotImplementedError(
+                "INT8 KV cache lands with the quantization milestone.")
+        self.kv_dtype = jnp.dtype(cache_config.kv_cache_dtype)
+
+        self.kv_cache: Optional[jnp.ndarray] = None
+        self.host_pool: Optional[np.ndarray] = None
+        self._kv_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
+        self._rep = NamedSharding(self.mesh, P())
+
+        self._base_key = jax.random.PRNGKey(model_config.seed)
+        self._step_counter = 0
+        self._block_buckets = scheduler_config.block_table_buckets(
+            self.block_size)
+        self._hist_buckets = make_buckets(
+            16, max(16, scheduler_config.max_model_len))
+        self._fn_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # memory sizing (parity: worker.py:59-118, re-done statically)
+    # ------------------------------------------------------------------
+
+    def block_bytes(self) -> int:
+        """Global bytes of one KV block across all layers (parity:
+        cache_engine.py:132-146)."""
+        return (self.num_layers * 2 * self.num_kv_heads * self.block_size *
+                self.head_dim * self.kv_dtype.itemsize)
+
+    def profile_num_available_blocks(self) -> Tuple[int, int]:
+        num_cpu = self.cache_config.swap_space_bytes // self.block_bytes()
+        if self.cache_config.num_device_blocks_override is not None:
+            return self.cache_config.num_device_blocks_override, num_cpu
+
+        tp = self.parallel_config.tensor_parallel_size
+        total_hbm = int(
+            os.environ.get("VLLM_TPU_HBM_BYTES", _DEFAULT_HBM_BYTES))
+        temp_bytes = self._estimate_step_temp_bytes()
+        weights_per_dev = self.weights_bytes // tp
+        block_dev_bytes = max(1, self.block_bytes() // tp)
+        budget = int(total_hbm * self.cache_config.gpu_memory_utilization)
+        avail = budget - weights_per_dev - temp_bytes
+        num_device = max(avail // block_dev_bytes, 0)
+        if num_device <= 0:
+            raise RuntimeError(
+                f"No HBM left for KV cache: budget={budget}, "
+                f"weights={weights_per_dev}, activations={temp_bytes}.")
+        logger.info(
+            "Memory profile: weights %.2f GiB/dev, step temp %.2f GiB, "
+            "KV blocks: %d device (%.2f GiB/dev), %d host swap.",
+            weights_per_dev / 2**30, temp_bytes / 2**30, num_device,
+            num_device * block_dev_bytes / 2**30, num_cpu)
+        return int(num_device), int(num_cpu)
+
+    def _estimate_step_temp_bytes(self) -> int:
+        """Lower+compile the largest step programs abstractly and read
+        XLA's static temp allocation."""
+        try:
+            T = self.scheduler_config.prefill_token_buckets[-1]
+            S = self.scheduler_config.max_prefill_seqs
+            B = self.scheduler_config.decode_batch_buckets[-1]
+            MB = self._block_buckets[-1]
+            placeholder_blocks = 64
+            kv_shape = self._kv_shape(placeholder_blocks)
+            kv = jax.ShapeDtypeStruct(kv_shape, self.kv_dtype)
+            i32 = jnp.int32
+
+            def abstract(shape, dtype=i32):
+                return jax.ShapeDtypeStruct(shape, dtype)
+
+            pre_batch = PrefillBatch(abstract((T,)), abstract((T,)),
+                                     abstract((T,)), abstract((T,)),
+                                     abstract((S,)))
+            dec_batch = DecodeBatch(abstract((B,)), abstract((B,)),
+                                    abstract((B,)), abstract((B, MB)),
+                                    abstract((B,)))
+
+            def tensors(n):
+                f32 = jnp.float32
+                return SamplingTensors(abstract((n,), f32),
+                                       abstract((n,), f32), abstract((n,)),
+                                       abstract((n,), f32),
+                                       abstract((n,), f32), abstract((n, 16)))
+
+            key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+            params_abs = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.
+                                               sharding), self.params)
+            temps = []
+            for fn, args in (
+                (self._make_step_fn(True, 1, 8, 16),
+                 (params_abs, kv, pre_batch, tensors(S), key)),
+                (self._make_step_fn(False, 1, 8, 16),
+                 (params_abs, kv, dec_batch, tensors(B), key)),
+            ):
+                mem = fn.lower(*args).compile().memory_analysis()
+                temps.append(
+                    getattr(mem, "temp_size_in_bytes", 0) or 0)
+            temp = max(temps)
+            if temp > 0:
+                return int(temp * 1.05)  # small safety margin
+        except Exception as e:  # pragma: no cover - backend specific
+            logger.warning("Static memory analysis unavailable (%s).", e)
+        total_hbm = int(
+            os.environ.get("VLLM_TPU_HBM_BYTES", _DEFAULT_HBM_BYTES))
+        return int(0.08 * total_hbm)
+
+    def _kv_shape(self, num_blocks):
+        return kv_cache_shape(self.num_layers, self.num_kv_heads, num_blocks,
+                              self.block_size, self.head_dim)
+
+    def init_cache(self) -> None:
+        cfg = self.cache_config
+        assert cfg.num_device_blocks is not None
+        self.kv_cache = jax.device_put(
+            jnp.zeros(self._kv_shape(cfg.num_device_blocks), self.kv_dtype),
+            self._kv_sharding)
+        self.host_pool = np.zeros(
+            (max(cfg.num_cpu_blocks, 1), self.num_layers, 2,
+             self.num_kv_heads, self.block_size, self.head_dim),
+            dtype=np.dtype(self.kv_dtype))
+
+    # ------------------------------------------------------------------
+    # jitted step programs
+    # ------------------------------------------------------------------
+
+    def _make_step_fn(self, is_prefill: bool, num_samples: int,
+                      num_topk: int, hist_len: int):
+        key_sig = ("step", is_prefill, num_samples, num_topk)
+        if key_sig in self._fn_cache:
+            return self._fn_cache[key_sig]
+        model = self.model
+
+        def step(params, kv_cache, batch, tensors, key):
+            hidden, kv_cache = model.forward(params, batch, kv_cache)
+            if is_prefill:
+                hidden = hidden[batch.logits_indices]
+            logits = model.compute_logits(params, hidden)
+            out = sample(logits, tensors, key, num_samples, num_topk)
+            return kv_cache, out
+
+        fn = jax.jit(step, donate_argnums=(1,))
+        self._fn_cache[key_sig] = fn
+        return fn
+
+    @functools.cached_property
+    def _copy_fn(self):
+        return jax.jit(copy_blocks, donate_argnums=(0,))
+
+    @functools.cached_property
+    def _gather_fn(self):
+        return jax.jit(gather_blocks)
+
+    @functools.cached_property
+    def _scatter_fn(self):
+        return jax.jit(scatter_blocks, donate_argnums=(0,))
+
+    def _next_key(self):
+        self._step_counter += 1
+        return jax.random.fold_in(self._base_key, self._step_counter)
+
+    # ------------------------------------------------------------------
+    # step execution
+    # ------------------------------------------------------------------
+
+    def execute_step(
+        self,
+        metadata_list: List[SequenceGroupMetadata],
+        sched: SchedulerOutputs,
+    ) -> Dict[int, SequenceOutputs]:
+        # Order matters: swap-out must read blocks before this step's
+        # KV writes / COW copies can reuse them (the reference orders
+        # this with per-layer CUDA events, attention.py:124-126; here
+        # jax data dependencies on the donated cache array serialize
+        # it for free).
+        if sched.blocks_to_swap_out:
+            self._swap_out(sched.blocks_to_swap_out)
+        if sched.blocks_to_copy:
+            self._copy(sched.blocks_to_copy)
+        if sched.blocks_to_swap_in:
+            self._swap_in(sched.blocks_to_swap_in)
+        if not metadata_list:
+            return {}
+        if sched.kind == StepKind.PREFILL:
+            return self._run_prefill(metadata_list)
+        return self._run_decode(metadata_list)
+
+    # -- block ops ----------------------------------------------------
+
+    def _pad_ids(self, ids: List[int], bucket: int) -> np.ndarray:
+        arr = np.full((bucket,), int(PAD_SLOT), np.int32)
+        arr[:len(ids)] = ids
+        return arr
+
+    def _swap_out(self, mapping: Dict[int, int]) -> None:
+        dev_ids = list(mapping.keys())
+        bucket = pick_bucket(PAIR_BUCKETS, len(dev_ids))
+        padded = np.full((bucket,), 0, np.int32)
+        padded[:len(dev_ids)] = dev_ids
+        staged = self._gather_fn(self.kv_cache, jnp.asarray(padded))
+        staged = np.asarray(staged)  # [L, 2, KVH, P, BS, D]
+        cpu_ids = [mapping[d] for d in dev_ids]
+        self.host_pool[cpu_ids] = np.moveaxis(staged[:, :, :, :len(dev_ids)],
+                                              3, 0)
+
+    def _swap_in(self, mapping: Dict[int, int]) -> None:
+        cpu_ids = list(mapping.keys())
+        dev_ids = [mapping[c] for c in cpu_ids]
+        bucket = pick_bucket(PAIR_BUCKETS, len(cpu_ids))
+        blocks = np.zeros((self.num_layers, 2, self.num_kv_heads, bucket,
+                           self.block_size, self.head_dim),
+                          dtype=self.host_pool.dtype)
+        blocks[:, :, :, :len(cpu_ids)] = np.moveaxis(self.host_pool[cpu_ids],
+                                                     0, 3)
+        self.kv_cache = self._scatter_fn(
+            self.kv_cache, jnp.asarray(self._pad_ids(dev_ids, bucket)),
+            jax.device_put(jnp.asarray(blocks), self._kv_sharding))
+
+    def _copy(self, mapping: Dict[int, List[int]]) -> None:
+        pairs = [(s, d) for s, dsts in mapping.items() for d in dsts]
+        bucket = pick_bucket(PAIR_BUCKETS, len(pairs))
+        src = self._pad_ids([p[0] for p in pairs], bucket)
+        dst = self._pad_ids([p[1] for p in pairs], bucket)
+        self.kv_cache = self._copy_fn(self.kv_cache, jnp.asarray(src),
+                                      jnp.asarray(dst))
+
+    # -- sampling-parameter rows ---------------------------------------
+
+    def _sampling_tensors(
+        self,
+        rows: List[Tuple[SamplingParams, List[int]]],
+        n: int,
+        vocab: int,
+    ) -> Tuple[SamplingTensors, int]:
+        temp = np.zeros((n,), np.float32)
+        top_p = np.ones((n,), np.float32)
+        top_k = np.full((n,), vocab, np.int32)
+        pres = np.zeros((n,), np.float32)
+        freq = np.zeros((n,), np.float32)
+        need_hist = any(p.presence_penalty != 0 or p.frequency_penalty != 0
+                        for p, _ in rows)
+        hist_len = (pick_bucket(self._hist_buckets,
+                                max(1, max(len(t) for _, t in rows)))
+                    if need_hist else self._hist_buckets[0])
+        hist = np.full((n, hist_len), int(PAD_TOKEN), np.int32)
+        for i, (p, tokens) in enumerate(rows):
+            temp[i] = p.temperature
+            top_p[i] = p.top_p
+            top_k[i] = p.top_k if p.top_k > 0 else vocab
+            pres[i] = p.presence_penalty
+            freq[i] = p.frequency_penalty
+            if need_hist and tokens:
+                tail = tokens[-hist_len:]
+                hist[i, :len(tail)] = tail
+        tensors = SamplingTensors(jnp.asarray(temp), jnp.asarray(top_p),
+                                  jnp.asarray(top_k), jnp.asarray(pres),
+                                  jnp.asarray(freq), jnp.asarray(hist))
+        return tensors, hist_len
+
+    @staticmethod
+    def _row_topk_need(p: SamplingParams, is_prompt: bool) -> int:
+        need = 1
+        if p.use_beam_search:
+            need = max(need, p.best_of if is_prompt else 2 * p.best_of)
+        if p.logprobs:
+            need = max(need, p.logprobs)
+        return need
+
+    def _logprobs_dict(self, out, row: int, token: int, token_lp: float,
+                       num_requested) -> Dict[int, float]:
+        d = {token: float(token_lp)}
+        if num_requested:
+            ids = np.asarray(out.topk_ids[row, :num_requested])
+            lps = np.asarray(out.topk_logprobs[row, :num_requested])
+            for t, lp in zip(ids.tolist(), lps.tolist()):
+                d.setdefault(int(t), float(lp))
+        return d
+
+    # -- prefill -------------------------------------------------------
+
+    def _run_prefill(
+        self, metadata_list: List[SequenceGroupMetadata]
+    ) -> Dict[int, SequenceOutputs]:
+        cfg = self.scheduler_config
+        S = cfg.max_prefill_seqs
+        vocab = self.model_config.get_vocab_size()
+
+        tokens: List[int] = []
+        positions: List[int] = []
+        seq_ids_flat: List[int] = []
+        slots: List[int] = []
+        logits_idx = np.zeros((S,), np.int32)
+        rows: List[Tuple[SamplingParams, List[int]]] = []
+
+        for i, md in enumerate(metadata_list):
+            first_seq_id = next(iter(md.seq_data))
+            data = md.seq_data[first_seq_id]
+            table = md.block_tables[first_seq_id]
+            plen = data.get_prompt_len()
+            for pos in range(plen):
+                tokens.append(data.prompt_token_ids[pos])
+                positions.append(pos)
+                seq_ids_flat.append(i)
+                slots.append(table[pos // self.block_size] * self.block_size +
+                             pos % self.block_size)
+            logits_idx[i] = len(tokens) - 1
+            rows.append((md.sampling_params, []))
+
+        T = pick_bucket(cfg.prefill_token_buckets, len(tokens))
+        pad = T - len(tokens)
+        batch = PrefillBatch(
+            token_ids=jnp.asarray(np.array(tokens + [0] * pad, np.int32)),
+            positions=jnp.asarray(np.array(positions + [0] * pad, np.int32)),
+            seq_ids=jnp.asarray(
+                np.array(seq_ids_flat + [-1] * pad, np.int32)),
+            slot_mapping=jnp.asarray(
+                np.array(slots + [int(PAD_SLOT)] * pad, np.int32)),
+            logits_indices=jnp.asarray(logits_idx),
+        )
+        tensors, hist_len = self._sampling_tensors(rows, S, vocab)
+        num_samples = pick_bucket(
+            SAMPLE_BUCKETS,
+            max((md.sampling_params.best_of for md in metadata_list
+                 if not md.sampling_params.use_beam_search), default=1))
+        num_topk = pick_bucket(
+            TOPK_BUCKETS,
+            max(self._row_topk_need(md.sampling_params, True)
+                for md in metadata_list))
+
+        fn = self._make_step_fn(True, num_samples, num_topk, hist_len)
+        self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
+                                self._next_key())
+        return self._collect_prompt_outputs(metadata_list, out)
+
+    def _collect_prompt_outputs(self, metadata_list, out):
+        samples = np.asarray(out.samples)
+        sample_lps = np.asarray(out.sample_logprobs)
+        topk_ids = np.asarray(out.topk_ids)
+        topk_lps = np.asarray(out.topk_logprobs)
+
+        results: Dict[int, SequenceOutputs] = {}
+        for i, md in enumerate(metadata_list):
+            p = md.sampling_params
+            seq_ids = list(md.seq_data)
+            if p.use_beam_search:
+                # All beams share the prompt: seed them with the top
+                # best_of distinct tokens.
+                for j, sid in enumerate(seq_ids):
+                    token = int(topk_ids[i, j])
+                    lp = float(topk_lps[i, j])
+                    results[sid] = SequenceOutputs(
+                        sid, sid, token,
+                        self._logprobs_dict(out, i, token, lp, p.logprobs))
+            elif p.is_greedy:
+                sid = seq_ids[0]
+                token = int(topk_ids[i, 0])
+                lp = float(topk_lps[i, 0])
+                results[sid] = SequenceOutputs(
+                    sid, sid, token,
+                    self._logprobs_dict(out, i, token, lp, p.logprobs))
+            else:
+                # Parallel sampling: sample j seeds sequence j.
+                for j, sid in enumerate(seq_ids):
+                    token = int(samples[j, i])
+                    lp = float(sample_lps[j, i])
+                    results[sid] = SequenceOutputs(
+                        sid, sid, token,
+                        self._logprobs_dict(out, i, token, lp, p.logprobs))
+        return results
+
+    # -- decode --------------------------------------------------------
+
+    def _run_decode(
+        self, metadata_list: List[SequenceGroupMetadata]
+    ) -> Dict[int, SequenceOutputs]:
+        cfg = self.scheduler_config
+        vocab = self.model_config.get_vocab_size()
+
+        row_seq: List[Tuple[SequenceGroupMetadata, int]] = []
+        tokens, positions, slots, ctx = [], [], [], []
+        tables: List[List[int]] = []
+        rows: List[Tuple[SamplingParams, List[int]]] = []
+        for md in metadata_list:
+            for sid, data in md.seq_data.items():
+                table = md.block_tables[sid]
+                L = data.get_len()
+                pos = L - 1
+                row_seq.append((md, sid))
+                tokens.append(data.get_last_token_id())
+                positions.append(pos)
+                slots.append(table[pos // self.block_size] * self.block_size +
+                             pos % self.block_size)
+                ctx.append(L)
+                tables.append(table)
+                rows.append((md.sampling_params, data.output_token_ids))
+
+        n = len(row_seq)
+        B = pick_bucket(cfg.decode_batch_buckets, n)
+        MB = pick_bucket(self._block_buckets, max(len(t) for t in tables))
+        table_arr = np.zeros((B, MB), np.int32)
+        for i, t in enumerate(tables):
+            table_arr[i, :len(t)] = t
+
+        def padded(vals, fill=0):
+            arr = np.full((B,), fill, np.int32)
+            arr[:n] = vals
+            return jnp.asarray(arr)
+
+        batch = DecodeBatch(
+            token_ids=padded(tokens),
+            positions=padded(positions),
+            slot_mapping=padded(slots, fill=int(PAD_SLOT)),
+            block_tables=jnp.asarray(table_arr),
+            context_lens=padded(ctx),
+        )
+        tensors, hist_len = self._sampling_tensors(rows, B, vocab)
+        num_topk = pick_bucket(
+            TOPK_BUCKETS,
+            max(self._row_topk_need(md.sampling_params, False)
+                for md, _ in row_seq))
+        fn = self._make_step_fn(False, 1, num_topk, hist_len)
+        self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
+                                self._next_key())
+        return self._collect_decode_outputs(metadata_list, row_seq, out)
+
+    def _collect_decode_outputs(self, metadata_list, row_seq, out):
+        samples = np.asarray(out.samples)
+        sample_lps = np.asarray(out.sample_logprobs)
+        topk_ids = np.asarray(out.topk_ids)
+        topk_lps = np.asarray(out.topk_logprobs)
+
+        # Row index per (group, seq).
+        row_of: Dict[int, int] = {
+            sid: i for i, (_, sid) in enumerate(row_seq)
+        }
+        results: Dict[int, SequenceOutputs] = {}
+        for md in metadata_list:
+            p = md.sampling_params
+            seq_ids = list(md.seq_data)
+            if p.use_beam_search:
+                # Parity: sampler.py:303-358 — expand each live beam by
+                # 2*width candidates, keep the global top width by
+                # cumulative logprob, rebind slots to winning parents.
+                width = p.best_of
+                candidates = []
+                for sid in seq_ids:
+                    r = row_of[sid]
+                    base = md.seq_data[sid].cumulative_logprob
+                    for j in range(2 * width):
+                        candidates.append(
+                            (base + float(topk_lps[r, j]), sid,
+                             int(topk_ids[r, j]), float(topk_lps[r, j])))
+                candidates.sort(key=lambda c: c[0], reverse=True)
+                winners = candidates[:len(seq_ids)]
+                for slot_sid, (_, parent_sid, token, lp) in zip(
+                        seq_ids, winners):
+                    r = row_of[parent_sid]
+                    results[slot_sid] = SequenceOutputs(
+                        slot_sid, parent_sid, token,
+                        self._logprobs_dict(out, r, token, lp, p.logprobs))
+            else:
+                for sid in seq_ids:
+                    r = row_of[sid]
+                    if p.is_greedy:
+                        token = int(topk_ids[r, 0])
+                        lp = float(topk_lps[r, 0])
+                    else:
+                        token = int(samples[0, r])
+                        lp = float(sample_lps[0, r])
+                    results[sid] = SequenceOutputs(
+                        sid, sid, token,
+                        self._logprobs_dict(out, r, token, lp, p.logprobs))
+        return results
