@@ -1,5 +1,6 @@
 """Attention tests vs. naive per-sequence einsum references
-(pattern: /root/reference/tests/kernels/test_attention.py:30-66)."""
+(pattern: /root/reference/tests/kernels/test_attention.py:30-66),
+for both the XLA fallback and the Pallas kernels (interpret mode)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,7 +8,8 @@ import pytest
 
 from vllm_tpu.ops.attention import paged_decode_attention, prefill_attention
 
-BS = 4
+BS = 16
+D = 128  # Pallas kernels assume lane-width head_dim
 
 
 def naive_attention(q, k, v, scale):
@@ -15,10 +17,10 @@ def naive_attention(q, k, v, scale):
     single = q.ndim == 2
     if single:
         q = q[None]
-    Tq, H, D = q.shape
+    Tq, H, _ = q.shape
     Tk, KVH, _ = k.shape
     G = H // KVH
-    kr = np.repeat(k, G, axis=1)  # [Tk, H, D]
+    kr = np.repeat(k, G, axis=1)
     vr = np.repeat(v, G, axis=1)
     scores = np.einsum("qhd,khd->hqk", q, kr).astype(np.float64) * scale
     if not single:
@@ -31,42 +33,47 @@ def naive_attention(q, k, v, scale):
     return out[0] if single else out
 
 
-@pytest.mark.parametrize("H,KVH,D", [(4, 4, 16), (4, 2, 16)])
-def test_paged_decode_attention_vs_naive(H, KVH, D):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
+def test_paged_decode_attention_vs_naive(H, KVH, impl):
     rng = np.random.default_rng(0)
-    NB, MB = 16, 4
-    B = 3
-    context_lens = np.array([1, 7, 13], dtype=np.int32)
-    # Distinct random block tables per sequence.
-    block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(np.int32)
+    L, NB, MB = 2, 16, 4
+    B = 4
+    context_lens = np.array([1, 23, 64, 0], dtype=np.int32)  # incl. pad row
+    block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(
+        np.int32)
 
-    k_cache = rng.standard_normal((KVH, NB, BS, D), dtype=np.float32)
-    v_cache = rng.standard_normal((KVH, NB, BS, D), dtype=np.float32)
+    kv_cache = rng.standard_normal((L, 2, NB, KVH, BS, D),
+                                   dtype=np.float32)
     q = rng.standard_normal((B, H, D), dtype=np.float32)
     scale = D**-0.5
 
     out = np.asarray(
-        paged_decode_attention(jnp.asarray(q), jnp.asarray(k_cache),
-                               jnp.asarray(v_cache),
+        paged_decode_attention(jnp.asarray(q), jnp.asarray(kv_cache), 1,
                                jnp.asarray(block_tables),
-                               jnp.asarray(context_lens), scale, impl="xla"))
+                               jnp.asarray(context_lens), scale, impl=impl))
 
     for i in range(B):
-        L = context_lens[i]
-        # Walk the block table to rebuild this sequence's KV history.
+        ctx = context_lens[i]
+        if ctx == 0:
+            assert np.isfinite(out[i]).all()
+            continue
         ks = np.concatenate(
-            [k_cache[:, b].transpose(1, 0, 2) for b in block_tables[i]])[:L]
+            [kv_cache[1, 0, b] for b in block_tables[i]], axis=1)
+        ks = np.moveaxis(ks, 0, 1)[:ctx]  # [ctx, KVH, D]
         vs = np.concatenate(
-            [v_cache[:, b].transpose(1, 0, 2) for b in block_tables[i]])[:L]
+            [kv_cache[1, 1, b] for b in block_tables[i]], axis=1)
+        vs = np.moveaxis(vs, 0, 1)[:ctx]
         ref = naive_attention(q[i], ks, vs, scale)
         np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=2e-3)
 
 
-@pytest.mark.parametrize("H,KVH,D", [(4, 4, 16), (4, 2, 16)])
-def test_prefill_attention_packed_segments(H, KVH, D):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
+def test_prefill_attention_packed_segments(H, KVH, impl):
     rng = np.random.default_rng(1)
-    lens = [5, 1, 8]
-    T_pad = 16  # includes 2 padding tokens
+    lens = [40, 1, 70]
+    T_pad = 128
     seq_ids = np.full(T_pad, -1, dtype=np.int32)
     start = 0
     for sid, ln in enumerate(lens):
@@ -80,7 +87,7 @@ def test_prefill_attention_packed_segments(H, KVH, D):
 
     out = np.asarray(
         prefill_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                          jnp.asarray(seq_ids), scale, impl="xla"))
+                          jnp.asarray(seq_ids), scale, impl=impl))
 
     start = 0
     for ln in lens:

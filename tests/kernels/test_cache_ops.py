@@ -32,8 +32,8 @@ def test_write_kv_scatters_and_drops_padding():
         if slot == int(PAD_SLOT):
             continue
         b, off = slot // BS, slot % BS
-        ref[1, 0, :, b, off, :] = k[t]
-        ref[1, 1, :, b, off, :] = v[t]
+        ref[1, 0, b, :, off, :] = k[t]
+        ref[1, 1, b, :, off, :] = v[t]
     np.testing.assert_array_equal(out, ref)
     # Layer 0 untouched.
     np.testing.assert_array_equal(out[0], cache[0])
@@ -46,8 +46,8 @@ def test_copy_blocks_all_layers():
     out = np.asarray(
         copy_blocks(jnp.asarray(cache), jnp.asarray(src), jnp.asarray(dst)))
     ref = cache.copy()
-    ref[:, :, :, 6] = cache[:, :, :, 1]
-    ref[:, :, :, 7] = cache[:, :, :, 3]
+    ref[:, :, 6] = cache[:, :, 1]
+    ref[:, :, 7] = cache[:, :, 3]
     np.testing.assert_array_equal(out, ref)
 
 
@@ -55,9 +55,9 @@ def test_swap_roundtrip():
     cache = make_cache(3)
     ids = np.array([2, 5], dtype=np.int32)
     staged = gather_blocks(jnp.asarray(cache), jnp.asarray(ids))
-    assert staged.shape == (L, 2, KVH, 2, BS, D)
+    assert staged.shape == (L, 2, 2, KVH, BS, D)
     wiped = cache.copy()
-    wiped[:, :, :, ids] = 0.0
+    wiped[:, :, ids] = 0.0
     restored = np.asarray(
         scatter_blocks(jnp.asarray(wiped), jnp.asarray(ids), staged))
     np.testing.assert_array_equal(restored, cache)

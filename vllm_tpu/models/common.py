@@ -71,8 +71,7 @@ def attend(
     if isinstance(batch, PrefillBatch):
         out = prefill_attention(q, k, v, batch.seq_ids, scale)
     else:
-        out = paged_decode_attention(q, kv_cache[layer_idx, 0],
-                                     kv_cache[layer_idx, 1],
+        out = paged_decode_attention(q, kv_cache, layer_idx,
                                      batch.block_tables, batch.context_lens,
                                      scale)
     return out, kv_cache

@@ -42,8 +42,8 @@ def _use_pallas(impl: str) -> bool:
 
 def paged_decode_attention(
     q: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
+    kv_cache: jnp.ndarray,
+    layer: int,
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
     scale: float,
@@ -51,7 +51,10 @@ def paged_decode_attention(
 ) -> jnp.ndarray:
     """One query token per sequence against its paged KV history.
 
-    q: [B, H, D]; k_cache/v_cache: [KVH, NB, BS, D];
+    q: [B, H, D]; kv_cache: the full engine cache
+    [L, 2, NB, KVH, BS, D] (passed whole so the Pallas kernel DMAs
+    pages straight from the live buffer — a per-layer slice would
+    materialize a copy at the custom-call boundary);
     block_tables: [B, MAX_BLOCKS] physical block ids (padded rows
     arbitrary); context_lens: [B] number of valid keys (including the
     token written this step). Returns [B, H, D].
@@ -59,25 +62,27 @@ def paged_decode_attention(
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.paged_attention import (
             pallas_paged_decode_attention)
-        return pallas_paged_decode_attention(q, k_cache, v_cache,
+        return pallas_paged_decode_attention(q, kv_cache, layer,
                                              block_tables, context_lens,
                                              scale)
-    return _xla_paged_decode_attention(q, k_cache, v_cache, block_tables,
+    return _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                        context_lens, scale)
 
 
-def _xla_paged_decode_attention(q, k_cache, v_cache, block_tables,
+def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                 context_lens, scale):
     B, H, D = q.shape
-    KVH, NB, BS, _ = k_cache.shape
+    _, _, NB, KVH, BS, _ = kv_cache.shape
     G = H // KVH
     MB = block_tables.shape[1]
     S = MB * BS
 
     tables = jnp.clip(block_tables, 0, NB - 1)
-    # [KVH, B, MB, BS, D] -> [B, KVH, S, D]
-    k = k_cache[:, tables].transpose(1, 0, 2, 3, 4).reshape(B, KVH, S, D)
-    v = v_cache[:, tables].transpose(1, 0, 2, 3, 4).reshape(B, KVH, S, D)
+    # [B, MB, KVH, BS, D] -> [B, KVH, S, D]
+    k = kv_cache[layer, 0][tables].transpose(0, 2, 1, 3,
+                                             4).reshape(B, KVH, S, D)
+    v = kv_cache[layer, 1][tables].transpose(0, 2, 1, 3,
+                                             4).reshape(B, KVH, S, D)
 
     qg = q.reshape(B, KVH, G, D).astype(jnp.float32)
     scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32),

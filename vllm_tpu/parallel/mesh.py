@@ -22,8 +22,8 @@ from vllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
-# KV cache [L, 2, KVH, NB, BS, D]: shard kv-heads over the model axis.
-KV_CACHE_SPEC = P(None, None, "model", None, None, None)
+# KV cache [L, 2, NB, KVH, BS, D]: shard kv-heads over the model axis.
+KV_CACHE_SPEC = P(None, None, None, "model", None, None)
 
 
 def build_mesh(tensor_parallel_size: int = 1,

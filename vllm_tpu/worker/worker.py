@@ -281,20 +281,20 @@ class TPUWorker:
         padded = np.full((bucket,), 0, np.int32)
         padded[:len(dev_ids)] = dev_ids
         staged = self._gather_fn(self.kv_cache, jnp.asarray(padded))
-        staged = np.asarray(staged)  # [L, 2, KVH, P, BS, D]
+        staged = np.asarray(staged)  # [L, 2, P, KVH, BS, D]
         cpu_ids = [mapping[d] for d in dev_ids]
-        self.host_pool[cpu_ids] = np.moveaxis(staged[:, :, :, :len(dev_ids)],
-                                              3, 0)
+        self.host_pool[cpu_ids] = np.moveaxis(staged[:, :, :len(dev_ids)],
+                                              2, 0)
 
     def _swap_in(self, mapping: Dict[int, int]) -> None:
         cpu_ids = list(mapping.keys())
         dev_ids = [mapping[c] for c in cpu_ids]
         bucket = pick_bucket(PAIR_BUCKETS, len(cpu_ids))
-        blocks = np.zeros((self.num_layers, 2, self.num_kv_heads, bucket,
+        blocks = np.zeros((self.num_layers, 2, bucket, self.num_kv_heads,
                            self.block_size, self.head_dim),
                           dtype=self.host_pool.dtype)
-        blocks[:, :, :, :len(cpu_ids)] = np.moveaxis(self.host_pool[cpu_ids],
-                                                     0, 3)
+        blocks[:, :, :len(cpu_ids)] = np.moveaxis(self.host_pool[cpu_ids], 0,
+                                                  2)
         self.kv_cache = self._scatter_fn(
             self.kv_cache, jnp.asarray(self._pad_ids(dev_ids, bucket)),
             jax.device_put(jnp.asarray(blocks), self._kv_sharding))
