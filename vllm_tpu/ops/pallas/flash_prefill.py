@@ -81,6 +81,33 @@ def _prefill_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-9)).astype(o_ref.dtype)
 
 
+def _prefill_small_kernel(
+    seq_ids_ref,  # [1, T]
+    q_ref,  # [1, T, D]
+    k_ref,  # [1, T, D]
+    v_ref,  # [1, T, D]
+    o_ref,  # [1, T, D]
+    *,
+    scale: float,
+):
+    """T <= 128: one block, plain masked softmax, no dynamic slices
+    (Mosaic requires 128-multiple dynamic offsets on int32 rows)."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    seg = seq_ids_ref[0]
+    T = q.shape[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = (seg[:, None] == seg[None, :]) & (q_pos >= k_pos)
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jax.lax.dot_general(p.astype(v.dtype), v,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32).astype(
+                                       o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def pallas_prefill_attention(
     q: jnp.ndarray,  # [T, H, D]
@@ -99,6 +126,30 @@ def pallas_prefill_attention(
     qh = jnp.swapaxes(q, 0, 1)  # [H, T, D]
     kh = jnp.swapaxes(k, 0, 1)  # [KVH, T, D]
     vh = jnp.swapaxes(v, 0, 1)
+
+    if T <= 128:
+        kernel = pl.pallas_call(
+            functools.partial(_prefill_small_kernel, scale=scale),
+            grid=(H,),
+            in_specs=[
+                pl.BlockSpec((1, T), lambda h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda h: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda h: (h // G, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda h: (h // G, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, D), lambda h: (h, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )
+        out = kernel(seq_ids.astype(jnp.int32).reshape(1, T), qh, kh, vh)
+        return jnp.swapaxes(out, 0, 1)
 
     kernel = pl.pallas_call(
         functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk),
