@@ -1,0 +1,232 @@
+"""Async engine + HTTP server tests (no reference counterpart — the
+reference shipped zero serving tests; SURVEY.md §4 calls for exceeding
+it). Runs the tiny-OPT engine on the CPU platform via conftest."""
+
+import asyncio
+import json
+
+import pytest
+import torch
+
+from vllm_tpu import AsyncLLMEngine, SamplingParams
+from vllm_tpu.engine.llm_engine import LLMEngine
+from vllm_tpu.engine.arg_utils import EngineArgs
+from vllm_tpu.entrypoints.api_server import build_app as build_simple_app
+from vllm_tpu.entrypoints.openai.api_server import build_app as build_openai_app
+
+from .utils import MockTokenizer
+
+VOCAB = 128
+MAX_LEN = 48
+
+
+@pytest.fixture(scope="module")
+def sync_engine(tmp_path_factory):
+    import transformers as tf
+    cfg = tf.OPTConfig(vocab_size=VOCAB, hidden_size=32, ffn_dim=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       max_position_embeddings=MAX_LEN,
+                       word_embed_proj_dim=32, do_layer_norm_before=True)
+    torch.manual_seed(7)
+    hf_model = tf.OPTForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("opt-tiny-serve")
+    hf_model.save_pretrained(path, safe_serialization=True)
+    args = EngineArgs(model=str(path), dtype="float32", block_size=4,
+                      num_device_blocks_override=64, swap_space=0.001,
+                      max_model_len=MAX_LEN, max_num_batched_tokens=32,
+                      max_num_seqs=8, max_prefill_seqs=4,
+                      disable_log_stats=True)
+    return LLMEngine.from_engine_args(args, tokenizer=MockTokenizer(VOCAB))
+
+
+def make_async(sync_engine) -> AsyncLLMEngine:
+    # A fresh wrapper per test: its asyncio primitives must belong to
+    # the test's event loop; the underlying engine is reused (idle
+    # between tests).
+    return AsyncLLMEngine(sync_engine, log_requests=False)
+
+
+def test_async_generate_streams_incrementally(sync_engine):
+
+    async def run():
+        engine = make_async(sync_engine)
+        params = SamplingParams(temperature=0.0, max_tokens=6,
+                                ignore_eos=True)
+        seen = []
+        async for out in engine.generate("hello async", params, "r1"):
+            seen.append(len(out.outputs[0].token_ids))
+        return seen
+
+    seen = asyncio.run(run())
+    # Token counts strictly increase; final step has all 6.
+    assert seen[-1] == 6
+    assert seen == sorted(seen)
+    assert len(seen) >= 2
+
+
+def test_async_concurrent_requests(sync_engine):
+
+    async def run():
+        engine = make_async(sync_engine)
+        params = SamplingParams(temperature=0.0, max_tokens=5,
+                                ignore_eos=True)
+
+        async def collect(prompt, rid):
+            last = None
+            async for out in engine.generate(prompt, params, rid):
+                last = out
+            return last
+
+        outs = await asyncio.gather(collect("aaa", "a"), collect("bbb", "b"),
+                                    collect("ccc", "c"))
+        return outs
+
+    outs = asyncio.run(run())
+    assert all(len(o.outputs[0].token_ids) == 5 for o in outs)
+    assert all(o.finished for o in outs)
+
+
+def test_async_cancel_aborts(sync_engine):
+
+    async def run():
+        engine = make_async(sync_engine)
+        params = SamplingParams(temperature=0.0, max_tokens=30,
+                                ignore_eos=True)
+
+        gen = engine.generate("cancel me", params, "c1")
+        async for _ in gen:
+            break  # take one output, then drop the generator
+        await gen.aclose()
+        # Let the loop drain the abort.
+        for _ in range(20):
+            if not engine.has_unfinished_requests():
+                break
+            await asyncio.sleep(0.05)
+        return engine.has_unfinished_requests()
+
+    assert asyncio.run(run()) is False
+
+
+def test_simple_api_server(sync_engine):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        app = build_simple_app(make_async(sync_engine))
+        async with TestClient(TestServer(app)) as client:
+            # health
+            r = await client.get("/health")
+            assert r.status == 200
+
+            # non-streaming
+            r = await client.post("/generate", json={
+                "prompt": "hi server",
+                "temperature": 0.0,
+                "max_tokens": 4,
+                "ignore_eos": True,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert len(body["text"]) == 1
+            assert body["text"][0].startswith("hi server")
+
+            # streaming: NUL-delimited JSON chunks
+            r = await client.post("/generate", json={
+                "prompt": "stream it",
+                "stream": True,
+                "temperature": 0.0,
+                "max_tokens": 4,
+                "ignore_eos": True,
+            })
+            assert r.status == 200
+            raw = await r.read()
+            chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+            assert len(chunks) >= 2
+            final = chunks[-1]["text"][0]
+            assert final.startswith("stream it")
+
+            # bad sampling params -> 400
+            r = await client.post("/generate", json={
+                "prompt": "x", "temperature": -1.0})
+            assert r.status == 400
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_openai_api_server(sync_engine):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        app = build_openai_app(make_async(sync_engine), "tiny-opt")
+        async with TestClient(TestServer(app)) as client:
+            # /v1/models
+            r = await client.get("/v1/models")
+            assert r.status == 200
+            models = await r.json()
+            assert models["data"][0]["id"] == "tiny-opt"
+
+            # wrong model name -> 404
+            r = await client.post("/v1/completions", json={
+                "model": "wrong", "prompt": "x"})
+            assert r.status == 404
+
+            # echo rejected
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": "x", "echo": True})
+            assert r.status == 400
+
+            # non-streaming completion with usage + logprobs
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt",
+                "prompt": "openai test",
+                "max_tokens": 4,
+                "temperature": 0.0,
+                "ignore_eos": True,
+                "logprobs": 2,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert body["object"] == "text_completion"
+            choice = body["choices"][0]
+            assert choice["finish_reason"] == "length"
+            assert len(choice["logprobs"]["tokens"]) == 4
+            assert len(choice["logprobs"]["top_logprobs"][0]) >= 2
+            usage = body["usage"]
+            assert usage["prompt_tokens"] == len("openai test")
+            assert usage["completion_tokens"] == 4
+            assert usage["total_tokens"] == usage["prompt_tokens"] + 4
+
+            # streaming: SSE chunks ending with [DONE]
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt",
+                "prompt": "sse",
+                "max_tokens": 4,
+                "temperature": 0.0,
+                "ignore_eos": True,
+                "stream": True,
+            })
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            raw = (await r.read()).decode()
+            events = [l[len("data: "):] for l in raw.split("\n\n")
+                      if l.startswith("data: ")]
+            assert events[-1] == "[DONE]"
+            text = "".join(
+                json.loads(e)["choices"][0]["text"] for e in events[:-1])
+            assert len(text) > 0
+
+            # n=2 parallel sampling, non-stream
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt",
+                "prompt": "multi",
+                "n": 2,
+                "max_tokens": 3,
+                "temperature": 0.8,
+                "ignore_eos": True,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert {c["index"] for c in body["choices"]} == {0, 1}
+        return True
+
+    assert asyncio.run(run())

@@ -6,6 +6,7 @@ TPU pod slices. See SURVEY.md for the architecture map.
 """
 
 from vllm_tpu.engine.arg_utils import AsyncEngineArgs, EngineArgs
+from vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
 from vllm_tpu.engine.llm_engine import LLMEngine
 from vllm_tpu.entrypoints.llm import LLM
 from vllm_tpu.outputs import CompletionOutput, RequestOutput
@@ -19,6 +20,7 @@ __all__ = [
     "RequestOutput",
     "CompletionOutput",
     "LLMEngine",
+    "AsyncLLMEngine",
     "EngineArgs",
     "AsyncEngineArgs",
     "__version__",

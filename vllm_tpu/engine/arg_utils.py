@@ -11,7 +11,7 @@ Reference defaults preserved: block_size 16, gpu_memory_utilization
 import argparse
 import dataclasses
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 from vllm_tpu.config import (CacheConfig, ModelConfig, ParallelConfig,
                              SchedulerConfig)
@@ -40,6 +40,12 @@ class EngineArgs:
     max_prefill_seqs: int = 16
     num_device_blocks_override: Optional[int] = None
     disable_log_stats: bool = False
+    # Compile every bucketed step program at startup instead of on
+    # first use (pairs well with JAX's persistent compilation cache).
+    precompile: bool = False
+    # Programmatic only (no CLI flag): a pre-built transformers
+    # PretrainedConfig, skipping all hub/disk I/O (tests, dryruns).
+    hf_config: Optional[Any] = None
 
     def __post_init__(self):
         if self.tokenizer is None:
@@ -82,12 +88,16 @@ class EngineArgs:
         parser.add_argument("--num-device-blocks-override", type=int,
                             default=None)
         parser.add_argument("--disable-log-stats", action="store_true")
+        parser.add_argument("--precompile", action="store_true",
+                            help="compile all bucketed step programs at "
+                            "startup instead of on first use")
         return parser
 
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
         attrs = [f.name for f in dataclasses.fields(cls)]
-        return cls(**{a: getattr(args, a) for a in attrs})
+        # Programmatic-only fields (hf_config) have no CLI flag.
+        return cls(**{a: getattr(args, a) for a in attrs if hasattr(args, a)})
 
     def create_engine_configs(
         self
@@ -102,6 +112,7 @@ class EngineArgs:
             download_dir=self.download_dir,
             use_np_cache=self.use_np_cache,
             max_model_len=self.max_model_len,
+            hf_config=self.hf_config,
         )
         cache_config = CacheConfig(
             block_size=self.block_size,

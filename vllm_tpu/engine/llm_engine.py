@@ -43,6 +43,7 @@ class LLMEngine:
         scheduler_config: SchedulerConfig,
         log_stats: bool = True,
         tokenizer: Any = None,
+        precompile: bool = False,
     ) -> None:
         logger.info(
             "Initializing engine: model=%r, dtype=%s, kv_cache=%s, "
@@ -67,6 +68,8 @@ class LLMEngine:
         cache_config.num_device_blocks = num_device
         cache_config.num_cpu_blocks = num_cpu
         self.worker.init_cache()
+        if precompile:
+            self.worker.precompile()
 
         self.scheduler = Scheduler(scheduler_config, cache_config, log_stats)
 
@@ -76,7 +79,8 @@ class LLMEngine:
         configs = engine_args.create_engine_configs()
         return cls(*configs,
                    log_stats=not engine_args.disable_log_stats,
-                   tokenizer=tokenizer)
+                   tokenizer=tokenizer,
+                   precompile=engine_args.precompile)
 
     # -- request lifecycle ---------------------------------------------------
 

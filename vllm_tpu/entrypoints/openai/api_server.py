@@ -1,0 +1,289 @@
+"""OpenAI-compatible API server.
+
+Capability parity: /root/reference/vllm/entrypoints/openai/api_server.py
+— GET /v1/models, POST /v1/completions with SSE streaming
+(`data: <json>\\n\\n` chunks terminated by `data: [DONE]\\n\\n`),
+logprobs formatting, usage accounting, abort on disconnect, model-name
+check, rejection of echo/suffix/logit_bias, fake streaming when
+n != best_of (beam/parallel sampling can't stream incrementally), and
+the served-model-name CLI. Built on aiohttp (no FastAPI in image).
+"""
+
+import argparse
+import asyncio
+import json
+from typing import AsyncIterator, Dict, List, Optional
+
+from aiohttp import web
+
+from vllm_tpu.engine.arg_utils import AsyncEngineArgs
+from vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+from vllm_tpu.entrypoints.openai.protocol import (
+    CompletionRequest, CompletionResponse, CompletionResponseChoice,
+    CompletionResponseStreamChoice, CompletionStreamResponse, ErrorResponse,
+    LogProbs, ModelCard, ModelList, ModelPermission, UsageInfo)
+from vllm_tpu.logger import init_logger
+from vllm_tpu.outputs import RequestOutput
+from vllm_tpu.sampling_params import SamplingParams
+from vllm_tpu.utils import random_uuid
+
+logger = init_logger(__name__)
+
+ENGINE_KEY = web.AppKey("engine", AsyncLLMEngine)
+SERVED_MODEL_KEY = web.AppKey("served_model", str)
+
+
+def error_response(message: str, status: int = 400) -> web.Response:
+    err = ErrorResponse(message=message, type="invalid_request_error")
+    return web.json_response(err.model_dump(), status=status)
+
+
+async def show_available_models(request: web.Request) -> web.Response:
+    served_model = request.app[SERVED_MODEL_KEY]
+    cards = ModelList(data=[
+        ModelCard(id=served_model, root=served_model,
+                  permission=[ModelPermission()])
+    ])
+    return web.json_response(cards.model_dump())
+
+
+def _create_logprobs(
+    tokenizer,
+    token_ids: List[int],
+    id_logprobs: List[Dict[int, float]],
+    initial_text_offset: int = 0,
+) -> LogProbs:
+    """Parity: openai/api_server.py:66-85."""
+    logprobs = LogProbs()
+    last_token_len = 0
+    for token_id, id_logprob in zip(token_ids, id_logprobs):
+        token = tokenizer.convert_ids_to_tokens(token_id)
+        logprobs.tokens.append(token)
+        logprobs.token_logprobs.append(id_logprob[token_id])
+        if len(logprobs.text_offset) == 0:
+            logprobs.text_offset.append(initial_text_offset)
+        else:
+            logprobs.text_offset.append(logprobs.text_offset[-1] +
+                                        last_token_len)
+        last_token_len = len(token)
+        logprobs.top_logprobs.append({
+            tokenizer.convert_ids_to_tokens(i): p
+            for i, p in id_logprob.items()
+        })
+    return logprobs
+
+
+async def create_completion(request: web.Request) -> web.StreamResponse:
+    engine = request.app[ENGINE_KEY]
+    served_model = request.app[SERVED_MODEL_KEY]
+    try:
+        body = CompletionRequest(**(await request.json()))
+    except Exception as e:
+        return error_response(f"invalid request: {e}")
+    logger.info("Received completion request: %s", body)
+
+    if body.model != served_model:
+        err = ErrorResponse(message=f"The model `{body.model}` does not exist.",
+                            type="invalid_request_error", code="404")
+        return web.json_response(err.model_dump(), status=404)
+    if body.echo:
+        return error_response("echo is not currently supported")
+    if body.suffix is not None:
+        return error_response("suffix is not currently supported")
+    if body.logit_bias is not None and len(body.logit_bias) > 0:
+        return error_response("logit_bias is not currently supported")
+
+    request_id = f"cmpl-{random_uuid()}"
+    prompt = body.prompt
+    prompt_token_ids: Optional[List[int]] = None
+    if isinstance(prompt, list):
+        if len(prompt) == 0:
+            return error_response("please provide at least one prompt")
+        first = prompt[0]
+        if isinstance(first, int):
+            prompt_token_ids = prompt  # a single tokenized prompt
+            prompt = None
+        elif len(prompt) == 1:
+            prompt = first
+            if isinstance(prompt, list):
+                prompt_token_ids = prompt
+                prompt = None
+        else:
+            return error_response(
+                "multiple prompts in a batch is not currently supported")
+
+    try:
+        sampling_params = SamplingParams(
+            n=body.n,
+            best_of=body.best_of,
+            presence_penalty=body.presence_penalty,
+            frequency_penalty=body.frequency_penalty,
+            temperature=body.temperature,
+            top_p=body.top_p,
+            top_k=body.top_k,
+            stop=body.stop,
+            ignore_eos=body.ignore_eos,
+            max_tokens=body.max_tokens,
+            logprobs=body.logprobs,
+            use_beam_search=body.use_beam_search,
+        )
+    except ValueError as e:
+        return error_response(str(e))
+
+    result_generator = engine.generate(prompt, sampling_params, request_id,
+                                       prompt_token_ids=prompt_token_ids)
+
+    tokenizer = engine.engine.tokenizer
+    model_name = body.model
+    created_time = int(__import__("time").time())
+
+    # Streaming is incremental only when each step's partial outputs
+    # are the final n sequences (parity: api_server.py:149-158).
+    stream = (body.stream and
+              (sampling_params.best_of == sampling_params.n)
+              and not sampling_params.use_beam_search)
+
+    def make_stream_chunk(index: int, text: str,
+                          logprobs: Optional[LogProbs] = None,
+                          finish_reason: Optional[str] = None) -> bytes:
+        choice = CompletionResponseStreamChoice(index=index, text=text,
+                                                logprobs=logprobs,
+                                                finish_reason=finish_reason)
+        chunk = CompletionStreamResponse(id=request_id, created=created_time,
+                                         model=model_name, choices=[choice])
+        data = chunk.model_dump_json(exclude_unset=False)
+        return f"data: {data}\n\n".encode()
+
+    if stream:
+        response = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await response.prepare(request)
+        previous_texts = [""] * body.n
+        previous_num_tokens = [0] * body.n
+        try:
+            async for res in result_generator:
+                for output in res.outputs:
+                    i = output.index
+                    delta_text = output.text[len(previous_texts[i]):]
+                    logprobs = None
+                    if body.logprobs is not None:
+                        logprobs = _create_logprobs(
+                            tokenizer,
+                            output.token_ids[previous_num_tokens[i]:],
+                            output.logprobs[previous_num_tokens[i]:],
+                            len(previous_texts[i]))
+                    previous_texts[i] = output.text
+                    previous_num_tokens[i] = len(output.token_ids)
+                    await response.write(
+                        make_stream_chunk(i, delta_text, logprobs,
+                                          output.finish_reason))
+            await response.write(b"data: [DONE]\n\n")
+            await response.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            await engine.abort(request_id)
+            raise
+        return response
+
+    # Non-streaming (or fake-streamed) path.
+    final_res: Optional[RequestOutput] = None
+    try:
+        async for res in result_generator:
+            if (request.transport is not None
+                    and request.transport.is_closing()):
+                await engine.abort(request_id)
+                return error_response("client disconnected", status=499)
+            final_res = res
+    except Exception:
+        await engine.abort(request_id)
+        raise
+    assert final_res is not None
+    choices = []
+    for output in final_res.outputs:
+        logprobs = None
+        if body.logprobs is not None:
+            logprobs = _create_logprobs(tokenizer, output.token_ids,
+                                        output.logprobs)
+        choices.append(
+            CompletionResponseChoice(index=output.index, text=output.text,
+                                     logprobs=logprobs,
+                                     finish_reason=output.finish_reason))
+
+    num_prompt_tokens = len(final_res.prompt_token_ids)
+    num_generated_tokens = sum(
+        len(output.token_ids) for output in final_res.outputs)
+    usage = UsageInfo(prompt_tokens=num_prompt_tokens,
+                      completion_tokens=num_generated_tokens,
+                      total_tokens=num_prompt_tokens + num_generated_tokens)
+    completion = CompletionResponse(id=request_id, created=created_time,
+                                    model=model_name, choices=choices,
+                                    usage=usage)
+
+    if body.stream:
+        # Fake streaming: one full chunk then [DONE]
+        # (parity: api_server.py:259-266).
+        response = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await response.prepare(request)
+        for choice in completion.choices:
+            await response.write(
+                make_stream_chunk(choice.index, choice.text, choice.logprobs,
+                                  choice.finish_reason))
+        await response.write(b"data: [DONE]\n\n")
+        await response.write_eof()
+        return response
+
+    return web.json_response(completion.model_dump())
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    response = await handler(request)
+    response.headers["Access-Control-Allow-Origin"] = "*"
+    response.headers["Access-Control-Allow-Methods"] = "*"
+    response.headers["Access-Control-Allow-Headers"] = "*"
+    return response
+
+
+def build_app(engine: AsyncLLMEngine, served_model: str,
+              allow_cors: bool = False) -> web.Application:
+    app = web.Application(middlewares=[cors_middleware] if allow_cors else [])
+    app[ENGINE_KEY] = engine
+    app[SERVED_MODEL_KEY] = served_model
+    app.router.add_get("/v1/models", show_available_models)
+    app.router.add_post("/v1/completions", create_completion)
+    return app
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="vllm-tpu OpenAI-compatible API server")
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--allow-cors", action="store_true",
+                        help="allow all CORS origins/methods/headers")
+    parser.add_argument(
+        "--served-model-name", type=str, default=None,
+        help="model name used in the API; defaults to --model")
+    parser.add_argument("--dummy", action="store_true",
+                        help="serve a tiny random model, no network")
+    parser = AsyncEngineArgs.add_cli_args(parser)
+    args = parser.parse_args()
+
+    tokenizer = None
+    if args.dummy:
+        from vllm_tpu.entrypoints.dummy import apply_dummy_args
+        tokenizer = apply_dummy_args(args)
+    served_model = args.served_model_name or args.model
+    engine_args = AsyncEngineArgs.from_cli_args(args)
+    engine = AsyncLLMEngine.from_engine_args(engine_args,
+                                             tokenizer=tokenizer)
+    logger.info("Serving model %s at http://%s:%d/v1", served_model,
+                args.host, args.port)
+    web.run_app(build_app(engine, served_model, args.allow_cors),
+                host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
