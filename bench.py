@@ -1,0 +1,155 @@
+"""Headline benchmark: offline continuous-batching throughput on
+LLaMA-7B, one chip.
+
+Mirrors the reference's benchmark_throughput.py (ShareGPT-style mixed
+prompt/output lengths, engine defaults) with a seeded synthetic
+workload so it runs hermetically (no hub/network I/O; dummy weights —
+throughput is weight-value independent).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the ratio to vLLM v0.1.0 on one A100-40G serving
+LLaMA-7B on the ShareGPT workload (~1700 output tok/s, estimated from
+the reference's published figures, /root/reference/README.md:65-91 —
+no absolute number is recorded in-tree).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_OUTPUT_TOKS_PER_S = 1700.0
+
+
+def enable_persistent_compile_cache():
+    """XLA compiles each bucketed program once EVER, not once per
+    process — bench restarts then start in seconds."""
+    import jax
+    cache_dir = os.environ.get("VLLM_TPU_XLA_CACHE_DIR",
+                               "/tmp/vllm_tpu_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+class _NullTokenizer:
+    vocab_size = 32000
+    eos_token_id = None
+
+    def encode(self, text):
+        raise NotImplementedError("bench feeds token ids directly")
+
+    def convert_ids_to_tokens(self, ids, skip_special_tokens=False):
+        if isinstance(ids, int):
+            return f"t{ids}"
+        return [f"t{i}" for i in ids]
+
+    def convert_tokens_to_string(self, tokens):
+        return " ".join(tokens)
+
+    def decode(self, ids, **kwargs):
+        return " ".join(f"t{i}" for i in ids)
+
+    def get_added_vocab(self):
+        return {}
+
+
+def llama_7b_config():
+    from transformers import LlamaConfig
+    return LlamaConfig(vocab_size=32000, hidden_size=4096,
+                       intermediate_size=11008, num_hidden_layers=32,
+                       num_attention_heads=32, num_key_value_heads=32,
+                       max_position_embeddings=2048)
+
+
+def build_llm(kv_cache_dtype: str, max_num_seqs: int,
+              max_num_batched_tokens: int):
+    from vllm_tpu import LLM
+    return LLM(
+        model="llama-7b-bench",
+        hf_config=llama_7b_config(),
+        tokenizer=_NullTokenizer(),
+        use_dummy_weights=True,
+        dtype="bfloat16",
+        kv_cache_dtype=kv_cache_dtype,
+        max_num_seqs=max_num_seqs,
+        max_num_batched_tokens=max_num_batched_tokens,
+        disable_log_stats=True,
+        precompile=True,
+    )
+
+
+def synth_requests(n, vocab, seed=1234, max_prompt=512, max_output=256):
+    """ShareGPT-shaped lengths (reference filters: prompt<=1024,
+    prompt+output<=2048; medians are a few hundred tokens)."""
+    rng = np.random.RandomState(seed)
+    reqs = []
+    for _ in range(n):
+        plen = int(rng.randint(16, max_prompt))
+        olen = int(rng.randint(32, max_output))
+        reqs.append((rng.randint(0, vocab, (plen,)).tolist(), olen))
+    return reqs
+
+
+def run(llm, reqs):
+    from vllm_tpu import SamplingParams
+    for i, (prompt_ids, olen) in enumerate(reqs):
+        llm.llm_engine.add_request(
+            str(i), None,
+            SamplingParams(temperature=0.0, max_tokens=olen,
+                           ignore_eos=True), prompt_token_ids=prompt_ids)
+    out_tokens = 0
+    prompt_tokens = 0
+    t0 = time.perf_counter()
+    while llm.llm_engine.has_unfinished_requests():
+        for out in llm.llm_engine.step():
+            if out.finished:
+                out_tokens += sum(len(c.token_ids) for c in out.outputs)
+                prompt_tokens += len(out.prompt_token_ids)
+    elapsed = time.perf_counter() - t0
+    return elapsed, prompt_tokens, out_tokens
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-requests", type=int, default=48)
+    parser.add_argument("--max-num-seqs", type=int, default=32)
+    parser.add_argument("--max-num-batched-tokens", type=int, default=1024)
+    parser.add_argument("--kv-cache-dtype", type=str, default="auto")
+    parser.add_argument("--quick", action="store_true",
+                        help="small sanity run (8 requests)")
+    args = parser.parse_args()
+    if args.quick:
+        args.num_requests = min(args.num_requests, 8)
+        args.max_num_seqs = min(args.max_num_seqs, 8)
+    enable_persistent_compile_cache()
+
+    from vllm_tpu.worker.worker import SUPPORTED_KV_DTYPES
+    kv_dtype = args.kv_cache_dtype
+    if kv_dtype == "auto":
+        kv_dtype = ("int8"
+                    if "int8" in SUPPORTED_KV_DTYPES else "bfloat16")
+    llm = build_llm(kv_dtype, args.max_num_seqs,
+                    args.max_num_batched_tokens)
+
+    vocab = 32000
+    # Warmup: trigger prefill/decode bucket compilation off the clock.
+    run(llm, synth_requests(4, vocab, seed=7))
+
+    reqs = synth_requests(args.num_requests, vocab)
+    elapsed, prompt_tokens, out_tokens = run(llm, reqs)
+
+    value = out_tokens / elapsed
+    print(json.dumps({
+        "metric": f"llama7b_output_tokens_per_s_1chip_kv_{kv_dtype}",
+        "value": round(value, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(value / BASELINE_OUTPUT_TOKS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

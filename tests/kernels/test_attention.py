@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from vllm_tpu.ops.attention import paged_decode_attention, prefill_attention
+from vllm_tpu.ops.cache import KVCache
 
 BS = 16
 D = 128  # Pallas kernels assume lane-width head_dim
@@ -33,9 +34,10 @@ def naive_attention(q, k, v, scale):
     return out[0] if single else out
 
 
+@pytest.mark.parametrize("quantized", [False, True])
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 @pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
-def test_paged_decode_attention_vs_naive(H, KVH, impl):
+def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
     rng = np.random.default_rng(0)
     L, NB, MB = 2, 16, 4
     B = 4
@@ -43,13 +45,24 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl):
     block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(
         np.int32)
 
-    kv_cache = rng.standard_normal((L, 2, NB, KVH, BS, D),
-                                   dtype=np.float32)
+    kv_data = rng.standard_normal((L, 2, NB, KVH, BS, D), dtype=np.float32)
+    if quantized:
+        from vllm_tpu.ops.cache import kv_scales_shape
+        scales = np.abs(kv_data).max(-1) / 127.0 + 1e-10
+        kv_int = np.clip(np.round(kv_data / scales[..., None]), -127, 127)
+        scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
+        scales_page[..., :BS] = scales
+        kv_cache = KVCache(jnp.asarray(kv_int, jnp.int8),
+                           jnp.asarray(scales_page))
+        # The reference below must see exactly what the kernel sees.
+        kv_data = kv_int * scales[..., None]
+    else:
+        kv_cache = KVCache(jnp.asarray(kv_data), None)
     q = rng.standard_normal((B, H, D), dtype=np.float32)
     scale = D**-0.5
 
     out = np.asarray(
-        paged_decode_attention(jnp.asarray(q), jnp.asarray(kv_cache), 1,
+        paged_decode_attention(jnp.asarray(q), kv_cache, 1,
                                jnp.asarray(block_tables),
                                jnp.asarray(context_lens), scale, impl=impl))
 
@@ -59,10 +72,10 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl):
             assert np.isfinite(out[i]).all()
             continue
         ks = np.concatenate(
-            [kv_cache[1, 0, b] for b in block_tables[i]], axis=1)
+            [kv_data[1, 0, b] for b in block_tables[i]], axis=1)
         ks = np.moveaxis(ks, 0, 1)[:ctx]  # [ctx, KVH, D]
         vs = np.concatenate(
-            [kv_cache[1, 1, b] for b in block_tables[i]], axis=1)
+            [kv_data[1, 1, b] for b in block_tables[i]], axis=1)
         vs = np.moveaxis(vs, 0, 1)[:ctx]
         ref = naive_attention(q[i], ks, vs, scale)
         np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=2e-3)

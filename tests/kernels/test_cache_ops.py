@@ -1,19 +1,30 @@
 """KV-cache op tests: replay every mapping in numpy and compare
-(the reference's own pattern, /root/reference/tests/kernels/test_cache.py)."""
+(the reference's own pattern, /root/reference/tests/kernels/test_cache.py),
+plus INT8 quantized-cache coverage (no reference counterpart)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from vllm_tpu.ops.cache import (PAD_SLOT, copy_blocks, gather_blocks,
-                                kv_cache_shape, scatter_blocks, write_kv)
+from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
+                                dequantize_pages, gather_blocks,
+                                kv_cache_shape, kv_scales_shape,
+                                scatter_blocks, write_kv)
 
 L, KVH, NB, BS, D = 2, 3, 8, 4, 16
 
 
-def make_cache(seed=0):
+def make_cache(seed=0, quantized=False) -> KVCache:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal(kv_cache_shape(L, KVH, NB, BS, D),
+    data = rng.standard_normal(kv_cache_shape(L, KVH, NB, BS, D),
                                dtype=np.float32)
+    if not quantized:
+        return KVCache(jnp.asarray(data), None)
+    scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, 2, NB, KVH, BS]
+    q = np.clip(np.round(data / scales[..., None]), -127, 127)
+    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
+    scales_page[..., :BS] = scales
+    return KVCache(jnp.asarray(q, jnp.int8), jnp.asarray(scales_page))
 
 
 def test_write_kv_scatters_and_drops_padding():
@@ -24,40 +35,80 @@ def test_write_kv_scatters_and_drops_padding():
     v = rng.standard_normal((T, KVH, D), dtype=np.float32)
     slots = np.array([0, 5, 17, 30, int(PAD_SLOT)], dtype=np.int32)
 
-    out = np.asarray(write_kv(jnp.asarray(cache), 1, jnp.asarray(k),
-                              jnp.asarray(v), jnp.asarray(slots)))
+    out = write_kv(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    out_data = np.asarray(out.data)
 
-    ref = cache.copy()
+    ref = np.asarray(cache.data).copy()
     for t, slot in enumerate(slots):
         if slot == int(PAD_SLOT):
             continue
         b, off = slot // BS, slot % BS
         ref[1, 0, b, :, off, :] = k[t]
         ref[1, 1, b, :, off, :] = v[t]
-    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out_data, ref)
     # Layer 0 untouched.
-    np.testing.assert_array_equal(out[0], cache[0])
+    np.testing.assert_array_equal(out_data[0], np.asarray(cache.data)[0])
 
 
-def test_copy_blocks_all_layers():
-    cache = make_cache(2)
+def test_write_kv_int8_quantizes_on_write():
+    cache = make_cache(quantized=True)
+    rng = np.random.default_rng(4)
+    T = 4
+    k = rng.standard_normal((T, KVH, D), dtype=np.float32) * 3.0
+    v = rng.standard_normal((T, KVH, D), dtype=np.float32) * 0.1
+    slots = np.array([0, 5, 17, int(PAD_SLOT)], dtype=np.int32)
+
+    out = write_kv(cache, 0, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    deq = np.asarray(dequantize_pages(out.data, out.scales))
+
+    for t, slot in enumerate(slots):
+        if slot == int(PAD_SLOT):
+            continue
+        b, off = slot // BS, slot % BS
+        # Per-vector symmetric int8: relative error <= 1/127 of amax.
+        np.testing.assert_allclose(deq[0, 0, b, :, off, :], k[t],
+                                   atol=np.abs(k[t]).max() / 127 + 1e-6)
+        np.testing.assert_allclose(deq[0, 1, b, :, off, :], v[t],
+                                   atol=np.abs(v[t]).max() / 127 + 1e-6)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_copy_blocks_all_layers(quantized):
+    cache = make_cache(2, quantized)
     src = np.array([1, 3, int(PAD_SLOT)], dtype=np.int32)
     dst = np.array([6, 7, int(PAD_SLOT)], dtype=np.int32)
-    out = np.asarray(
-        copy_blocks(jnp.asarray(cache), jnp.asarray(src), jnp.asarray(dst)))
-    ref = cache.copy()
-    ref[:, :, 6] = cache[:, :, 1]
-    ref[:, :, 7] = cache[:, :, 3]
-    np.testing.assert_array_equal(out, ref)
+    out = copy_blocks(cache, jnp.asarray(src), jnp.asarray(dst))
+    for got, orig in ((out.data, cache.data), (out.scales, cache.scales)):
+        if got is None:
+            continue
+        got, orig = np.asarray(got), np.asarray(orig)
+        ref = orig.copy()
+        ref[:, :, 6] = orig[:, :, 1]
+        ref[:, :, 7] = orig[:, :, 3]
+        np.testing.assert_array_equal(got, ref)
 
 
-def test_swap_roundtrip():
-    cache = make_cache(3)
+@pytest.mark.parametrize("quantized", [False, True])
+def test_swap_roundtrip(quantized):
+    cache = make_cache(3, quantized)
     ids = np.array([2, 5], dtype=np.int32)
-    staged = gather_blocks(jnp.asarray(cache), jnp.asarray(ids))
-    assert staged.shape == (L, 2, 2, KVH, BS, D)
-    wiped = cache.copy()
-    wiped[:, :, ids] = 0.0
-    restored = np.asarray(
-        scatter_blocks(jnp.asarray(wiped), jnp.asarray(ids), staged))
-    np.testing.assert_array_equal(restored, cache)
+    staged = gather_blocks(cache, jnp.asarray(ids))
+    assert staged.data.shape == (L, 2, 2, KVH, BS, D)
+    if quantized:
+        assert staged.scales.shape == kv_scales_shape(L, KVH, 2, BS)
+    wiped_data = np.asarray(cache.data).copy()
+    wiped_data[:, :, ids] = 0
+    wiped_scales = None
+    if quantized:
+        wiped_scales = np.asarray(cache.scales).copy()
+        wiped_scales[:, :, ids] = 0
+        wiped_scales = jnp.asarray(wiped_scales)
+    restored = scatter_blocks(KVCache(jnp.asarray(wiped_data), wiped_scales),
+                              jnp.asarray(ids), staged)
+    np.testing.assert_array_equal(np.asarray(restored.data),
+                                  np.asarray(cache.data))
+    if quantized:
+        np.testing.assert_array_equal(np.asarray(restored.scales),
+                                      np.asarray(cache.scales))

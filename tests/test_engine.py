@@ -189,6 +189,24 @@ def test_abort_request(checkpoint):
     assert finished == ["keep"]
 
 
+def test_int8_kv_cache_end_to_end(checkpoint):
+    """INT8 KV quantization: the first sampled token is exact (prefill
+    attends over unquantized fresh K/V), decode runs through the
+    quantized cache end-to-end."""
+    _, hf_model = checkpoint
+    llm = make_llm(checkpoint, kv_cache_dtype="int8")
+    prompt = "quantize me"
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    [out] = llm.generate(prompt, params, use_tqdm=False)
+    assert len(out.outputs[0].token_ids) == 8
+    expected = hf_greedy(hf_model, MockTokenizer(VOCAB).encode(prompt), 8)
+    assert out.outputs[0].token_ids[0] == expected[0]
+    # Tiny random models have near-flat logits; still, int8 per-vector
+    # scales should track the fp32 greedy path closely.
+    matches = sum(a == b for a, b in zip(out.outputs[0].token_ids, expected))
+    assert matches >= 4, (out.outputs[0].token_ids, expected)
+
+
 def test_ignored_overlong_prompt_reported(checkpoint):
     llm = make_llm(checkpoint)
     engine = llm.llm_engine

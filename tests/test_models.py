@@ -62,9 +62,11 @@ def build_ours(family, cfg):
 
 
 def empty_cache(model):
-    return jnp.zeros(
-        kv_cache_shape(model.layers, model.kv_heads, NUM_BLOCKS, BLOCK_SIZE,
-                       model.head_dim), jnp.float32)
+    from vllm_tpu.ops.cache import KVCache
+    return KVCache(
+        jnp.zeros(
+            kv_cache_shape(model.layers, model.kv_heads, NUM_BLOCKS,
+                           BLOCK_SIZE, model.head_dim), jnp.float32), None)
 
 
 FAMILIES = ["llama", "gpt2", "gpt_neox", "gpt_neox_seq", "opt"]

@@ -12,19 +12,24 @@ for.
 
 from vllm_tpu.ops.activation import get_act_fn, silu_and_mul
 from vllm_tpu.ops.attention import paged_decode_attention, prefill_attention
-from vllm_tpu.ops.cache import copy_blocks, gather_blocks, scatter_blocks, write_kv
+from vllm_tpu.ops.cache import (KVCache, copy_blocks, dequantize_pages,
+                                gather_blocks, quantize_kv, scatter_blocks,
+                                write_kv)
 from vllm_tpu.ops.norm import layer_norm, rms_norm
 from vllm_tpu.ops.rotary import apply_rope, compute_rope_cache
 
 __all__ = [
+    "KVCache",
     "apply_rope",
     "compute_rope_cache",
     "copy_blocks",
+    "dequantize_pages",
     "gather_blocks",
     "get_act_fn",
     "layer_norm",
     "paged_decode_attention",
     "prefill_attention",
+    "quantize_kv",
     "rms_norm",
     "scatter_blocks",
     "silu_and_mul",

@@ -26,6 +26,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from vllm_tpu.ops.cache import KVCache
+
 _NEG_INF = -1e30
 
 
@@ -42,7 +44,7 @@ def _use_pallas(impl: str) -> bool:
 
 def paged_decode_attention(
     q: jnp.ndarray,
-    kv_cache: jnp.ndarray,
+    kv_cache: KVCache,
     layer: int,
     block_tables: jnp.ndarray,
     context_lens: jnp.ndarray,
@@ -51,13 +53,13 @@ def paged_decode_attention(
 ) -> jnp.ndarray:
     """One query token per sequence against its paged KV history.
 
-    q: [B, H, D]; kv_cache: the full engine cache
-    [L, 2, NB, KVH, BS, D] (passed whole so the Pallas kernel DMAs
-    pages straight from the live buffer — a per-layer slice would
-    materialize a copy at the custom-call boundary);
-    block_tables: [B, MAX_BLOCKS] physical block ids (padded rows
-    arbitrary); context_lens: [B] number of valid keys (including the
-    token written this step). Returns [B, H, D].
+    q: [B, H, D]; kv_cache: the full engine cache — payload
+    [L, 2, NB, KVH, BS, D] plus optional int8 dequant scales (passed
+    whole so the Pallas kernel DMAs pages straight from the live
+    buffer — a per-layer slice would materialize a copy at the
+    custom-call boundary); block_tables: [B, MAX_BLOCKS] physical block
+    ids (padded rows arbitrary); context_lens: [B] number of valid keys
+    (including the token written this step). Returns [B, H, D].
     """
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.paged_attention import (
@@ -72,26 +74,33 @@ def paged_decode_attention(
 def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                 context_lens, scale):
     B, H, D = q.shape
-    _, _, NB, KVH, BS, _ = kv_cache.shape
+    data, scales = kv_cache
+    _, _, NB, KVH, BS, _ = data.shape
     G = H // KVH
     MB = block_tables.shape[1]
     S = MB * BS
 
     tables = jnp.clip(block_tables, 0, NB - 1)
-    # [B, MB, KVH, BS, D] -> [B, KVH, S, D]
-    k = kv_cache[layer, 0][tables].transpose(0, 2, 1, 3,
-                                             4).reshape(B, KVH, S, D)
-    v = kv_cache[layer, 1][tables].transpose(0, 2, 1, 3,
-                                             4).reshape(B, KVH, S, D)
+
+    def fetch(kv: int) -> jnp.ndarray:
+        # [B, MB, KVH, BS, D] f32 (dequantized) -> [B, KVH, S, D]
+        pages = data[layer, kv][tables].astype(jnp.float32)
+        if scales is not None:
+            pages = pages * scales[layer, kv][tables].astype(
+                jnp.float32)[..., :BS, None]
+        return pages.transpose(0, 2, 1, 3, 4).reshape(B, KVH, S, D)
+
+    k = fetch(0)
+    v = fetch(1)
 
     qg = q.reshape(B, KVH, G, D).astype(jnp.float32)
-    scores = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32),
+    scores = jnp.einsum("bkgd,bksd->bkgs", qg, k,
                         preferred_element_type=jnp.float32) * scale
     positions = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, S), 3)
     mask = positions < context_lens[:, None, None, None]
     scores = jnp.where(mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgs,bksd->bkgd", probs, v.astype(jnp.float32),
+    out = jnp.einsum("bkgs,bksd->bkgd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, H, D).astype(q.dtype)
 

@@ -22,8 +22,10 @@ from vllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
-# KV cache [L, 2, NB, KVH, BS, D]: shard kv-heads over the model axis.
+# KV cache payload [L, 2, NB, KVH, BS, D] and int8 dequant scales
+# [L, 2, NB, KVH, BS]: shard kv-heads over the model axis.
 KV_CACHE_SPEC = P(None, None, None, "model", None, None)
+KV_SCALES_SPEC = P(None, None, None, "model", None)
 
 
 def build_mesh(tensor_parallel_size: int = 1,

@@ -23,6 +23,7 @@ TPU re-design:
 
 import functools
 import os
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -37,15 +38,22 @@ from vllm_tpu.core.scheduler import SchedulerOutputs, StepKind
 from vllm_tpu.logger import init_logger
 from vllm_tpu.models.common import DecodeBatch, PrefillBatch
 from vllm_tpu.models.model_loader import get_model
-from vllm_tpu.ops.cache import (PAD_SLOT, copy_blocks, gather_blocks,
-                                kv_cache_shape, scatter_blocks)
+from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
+                                gather_blocks, kv_cache_shape,
+                                kv_scales_shape, scatter_blocks)
 from vllm_tpu.ops.sampling import PAD_TOKEN, SamplingTensors, sample
-from vllm_tpu.parallel.mesh import KV_CACHE_SPEC, build_mesh, shard_params
+from vllm_tpu.parallel.mesh import (KV_CACHE_SPEC, KV_SCALES_SPEC,
+                                    build_mesh, shard_params)
 from vllm_tpu.sampling_params import SamplingParams
 from vllm_tpu.sequence import SequenceGroupMetadata, SequenceOutputs
 from vllm_tpu.utils import cdiv, make_buckets, pick_bucket
 
 logger = init_logger(__name__)
+
+# KV dtypes the executor supports; int8 quantizes on write with
+# per-token-per-head scales and dequantizes inside the attention
+# kernels (north star beyond the reference).
+SUPPORTED_KV_DTYPES = ("bfloat16", "float32", "int8")
 
 SAMPLE_BUCKETS = [1, 2, 4, 8, 16, 32]
 TOPK_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
@@ -82,14 +90,21 @@ class TPUWorker:
                                     hf.num_attention_heads)
         self.head_dim = model_config.get_head_size()
         self.block_size = cache_config.block_size
-        if cache_config.kv_cache_dtype == "int8":
+        if cache_config.kv_cache_dtype not in SUPPORTED_KV_DTYPES:
             raise NotImplementedError(
-                "INT8 KV cache lands with the quantization milestone.")
+                f"kv_cache_dtype={cache_config.kv_cache_dtype} is not "
+                f"supported yet (have: {SUPPORTED_KV_DTYPES}).")
+        self.kv_quantized = cache_config.kv_cache_dtype == "int8"
         self.kv_dtype = jnp.dtype(cache_config.kv_cache_dtype)
 
-        self.kv_cache: Optional[jnp.ndarray] = None
+        self.kv_cache: Optional[KVCache] = None
         self.host_pool: Optional[np.ndarray] = None
-        self._kv_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
+        self.host_scales: Optional[np.ndarray] = None
+        data_sharding = NamedSharding(self.mesh, KV_CACHE_SPEC)
+        self._kv_sharding = KVCache(
+            data_sharding,
+            NamedSharding(self.mesh, KV_SCALES_SPEC)
+            if self.kv_quantized else None)
         self._rep = NamedSharding(self.mesh, P())
 
         self._base_key = jax.random.PRNGKey(model_config.seed)
@@ -106,9 +121,12 @@ class TPUWorker:
 
     def block_bytes(self) -> int:
         """Global bytes of one KV block across all layers (parity:
-        cache_engine.py:132-146)."""
-        return (self.num_layers * 2 * self.num_kv_heads * self.block_size *
-                self.head_dim * self.kv_dtype.itemsize)
+        cache_engine.py:132-146), including dequant scales if int8."""
+        payload = (self.num_layers * 2 * self.num_kv_heads *
+                   self.block_size * self.head_dim * self.kv_dtype.itemsize)
+        if self.kv_quantized:
+            payload += int(np.prod(self._scales_shape(1))) * 4  # f32
+        return payload
 
     def profile_num_available_blocks(self) -> Tuple[int, int]:
         num_cpu = self.cache_config.swap_space_bytes // self.block_bytes()
@@ -144,8 +162,7 @@ class TPUWorker:
             B = self.scheduler_config.decode_batch_buckets[-1]
             MB = self._block_buckets[-1]
             placeholder_blocks = 64
-            kv_shape = self._kv_shape(placeholder_blocks)
-            kv = jax.ShapeDtypeStruct(kv_shape, self.kv_dtype)
+            kv = self._kv_abstract(placeholder_blocks)
             i32 = jnp.int32
 
             def abstract(shape, dtype=i32):
@@ -192,16 +209,36 @@ class TPUWorker:
         return kv_cache_shape(self.num_layers, self.num_kv_heads, num_blocks,
                               self.block_size, self.head_dim)
 
+    def _scales_shape(self, num_blocks):
+        return kv_scales_shape(self.num_layers, self.num_kv_heads,
+                               num_blocks, self.block_size)
+
+    def _kv_abstract(self, num_blocks) -> KVCache:
+        data = jax.ShapeDtypeStruct(self._kv_shape(num_blocks),
+                                    self.kv_dtype)
+        scales = (jax.ShapeDtypeStruct(self._scales_shape(num_blocks),
+                                       jnp.float32)
+                  if self.kv_quantized else None)
+        return KVCache(data, scales)
+
     def init_cache(self) -> None:
         cfg = self.cache_config
         assert cfg.num_device_blocks is not None
-        self.kv_cache = jax.device_put(
-            jnp.zeros(self._kv_shape(cfg.num_device_blocks), self.kv_dtype),
-            self._kv_sharding)
+        nb = cfg.num_device_blocks
+        zeros = KVCache(
+            jnp.zeros(self._kv_shape(nb), self.kv_dtype),
+            jnp.zeros(self._scales_shape(nb), jnp.float32)
+            if self.kv_quantized else None)
+        self.kv_cache = jax.device_put(zeros, self._kv_sharding)
+        ncpu = max(cfg.num_cpu_blocks, 1)
         self.host_pool = np.zeros(
-            (max(cfg.num_cpu_blocks, 1), self.num_layers, 2,
-             self.num_kv_heads, self.block_size, self.head_dim),
-            dtype=np.dtype(self.kv_dtype))
+            (ncpu, self.num_layers, 2, self.num_kv_heads, self.block_size,
+             self.head_dim), dtype=np.dtype(self.kv_dtype))
+        if self.kv_quantized:
+            # Host mirror of the padded scales page layout.
+            scales_shape = self._scales_shape(ncpu)
+            self.host_scales = np.zeros(
+                (ncpu,) + scales_shape[:2] + scales_shape[3:], np.float32)
 
     # ------------------------------------------------------------------
     # jitted step programs
@@ -243,6 +280,61 @@ class TPUWorker:
         return jax.random.fold_in(self._base_key, self._step_counter)
 
     # ------------------------------------------------------------------
+    # precompilation (no reference analog; XLA's static-shape answer to
+    # CUDA-graph capture, parallel_state.py:506-556)
+    # ------------------------------------------------------------------
+
+    def precompile(self) -> None:
+        """Compile the common-case (greedy/sample, no penalties) step
+        program for every bucket up front, so no compile lands mid-serving.
+        Runs each program once with all-padding inputs: PAD_SLOT drops
+        every KV write and context_len 0 masks attention, so the live
+        cache passes through unchanged."""
+        assert self.kv_cache is not None, "init_cache() first"
+        cfg = self.scheduler_config
+        t0 = time.perf_counter()
+        hist0 = self._hist_buckets[0]
+        key = self._base_key
+
+        def tensors(n):
+            f32 = jnp.float32
+            return SamplingTensors(
+                jnp.zeros((n,), f32), jnp.ones((n,), f32),
+                jnp.ones((n,), jnp.int32), jnp.zeros((n,), f32),
+                jnp.zeros((n,), f32),
+                jnp.full((n, hist0), int(PAD_TOKEN), jnp.int32))
+
+        S = cfg.max_prefill_seqs
+        for T in cfg.prefill_token_buckets:
+            batch = PrefillBatch(
+                token_ids=jnp.zeros((T,), jnp.int32),
+                positions=jnp.zeros((T,), jnp.int32),
+                seq_ids=jnp.full((T,), -1, jnp.int32),
+                slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
+                logits_indices=jnp.zeros((S,), jnp.int32),
+            )
+            fn = self._make_step_fn(True, 1, 1, hist0)
+            self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
+                                  tensors(S), key)
+        MB = self._block_buckets[-1]
+        for B in cfg.decode_batch_buckets:
+            batch = DecodeBatch(
+                token_ids=jnp.zeros((B,), jnp.int32),
+                positions=jnp.zeros((B,), jnp.int32),
+                slot_mapping=jnp.full((B,), int(PAD_SLOT), jnp.int32),
+                block_tables=jnp.zeros((B, MB), jnp.int32),
+                context_lens=jnp.zeros((B,), jnp.int32),
+            )
+            fn = self._make_step_fn(False, 1, 1, hist0)
+            self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
+                                  tensors(B), key)
+        jax.block_until_ready(self.kv_cache.data)
+        logger.info(
+            "Precompiled %d prefill + %d decode programs in %.1f s.",
+            len(cfg.prefill_token_buckets), len(cfg.decode_batch_buckets),
+            time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
     # step execution
     # ------------------------------------------------------------------
 
@@ -281,23 +373,35 @@ class TPUWorker:
         padded = np.full((bucket,), 0, np.int32)
         padded[:len(dev_ids)] = dev_ids
         staged = self._gather_fn(self.kv_cache, jnp.asarray(padded))
-        staged = np.asarray(staged)  # [L, 2, P, KVH, BS, D]
+        n = len(dev_ids)
         cpu_ids = [mapping[d] for d in dev_ids]
-        self.host_pool[cpu_ids] = np.moveaxis(staged[:, :, :len(dev_ids)],
-                                              2, 0)
+        # staged.data: [L, 2, P, KVH, BS, D]; host pools are block-major.
+        self.host_pool[cpu_ids] = np.moveaxis(
+            np.asarray(staged.data)[:, :, :n], 2, 0)
+        if self.kv_quantized:
+            self.host_scales[cpu_ids] = np.moveaxis(
+                np.asarray(staged.scales)[:, :, :n], 2, 0)
 
     def _swap_in(self, mapping: Dict[int, int]) -> None:
         cpu_ids = list(mapping.keys())
         dev_ids = [mapping[c] for c in cpu_ids]
-        bucket = pick_bucket(PAIR_BUCKETS, len(cpu_ids))
+        n = len(cpu_ids)
+        bucket = pick_bucket(PAIR_BUCKETS, n)
         blocks = np.zeros((self.num_layers, 2, bucket, self.num_kv_heads,
                            self.block_size, self.head_dim),
                           dtype=self.host_pool.dtype)
-        blocks[:, :, :len(cpu_ids)] = np.moveaxis(self.host_pool[cpu_ids], 0,
-                                                  2)
+        blocks[:, :, :n] = np.moveaxis(self.host_pool[cpu_ids], 0, 2)
+        scales = None
+        if self.kv_quantized:
+            scales = np.zeros(self._scales_shape(bucket), np.float32)
+            scales[:, :, :n] = np.moveaxis(self.host_scales[cpu_ids], 0, 2)
+        staged = jax.device_put(
+            KVCache(jnp.asarray(blocks),
+                    None if scales is None else jnp.asarray(scales)),
+            self._kv_sharding)
         self.kv_cache = self._scatter_fn(
             self.kv_cache, jnp.asarray(self._pad_ids(dev_ids, bucket)),
-            jax.device_put(jnp.asarray(blocks), self._kv_sharding))
+            staged)
 
     def _copy(self, mapping: Dict[int, List[int]]) -> None:
         pairs = [(s, d) for s, dsts in mapping.items() for d in dsts]
@@ -479,7 +583,11 @@ class TPUWorker:
 
         n = len(row_seq)
         B = pick_bucket(cfg.decode_batch_buckets, n)
-        MB = pick_bucket(self._block_buckets, max(len(t) for t in tables))
+        # Block tables always pad to the max width: the Pallas kernel
+        # only walks ctx pages, so wide tables cost nothing, and the
+        # decode program count collapses from |B|x|MB| to |B| (each
+        # compile is tens of seconds on a 32-layer model).
+        MB = self._block_buckets[-1]
         table_arr = np.zeros((B, MB), np.int32)
         for i, t in enumerate(tables):
             table_arr[i, :len(t)] = t
