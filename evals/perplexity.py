@@ -1,0 +1,134 @@
+"""WikiText-2 perplexity harness — the INT8 quality gate.
+
+BASELINE.md: "WikiText-2 perplexity Δ at INT8 KV within stated Δ of
+the FP16 reference". Runs the same model under different
+kv-cache-dtype / weight-quantization settings and reports ppl deltas.
+
+Token-by-token decode through the engine's paged cache measures
+exactly what serving produces (prefill computes each position's logits
+over the *unquantized* fresh K/V, so a prefill-only ppl would hide KV
+quantization error).
+
+Needs local assets (TPU hosts are egress-less):
+  --model <dir with config.json + weights>   (HF layout)
+  --dataset <wikitext-2 raw test split, plain text file>
+
+Usage:
+  python evals/perplexity.py --model /data/llama-7b \
+      --dataset /data/wikitext-2/wiki.test.raw \
+      --configs fp:bfloat16 int8kv:int8 int8w:int8+w
+"""
+
+import argparse
+import math
+
+import numpy as np
+
+
+def batched_nll(llm, token_ids, seq_len, stride):
+    """Sum NLL of each token given its seq_len-window prefix, decoding
+    through the paged cache (teacher forcing via logprobs of the
+    realized token)."""
+    import jax.numpy as jnp
+
+    from vllm_tpu.models.common import DecodeBatch, PrefillBatch
+    from vllm_tpu.ops.cache import PAD_SLOT
+
+    worker = llm.llm_engine.worker
+    model, params = worker.model, worker.params
+    block_size = worker.block_size
+
+    total_nll, total_tokens = 0.0, 0
+    windows = range(0, max(len(token_ids) - seq_len, 1), stride)
+    for start in windows:
+        ids = token_ids[start:start + seq_len]
+        T = len(ids)
+        n_blocks = -(-T // block_size)
+        table = list(range(n_blocks))  # private cache region per window
+
+        batch = PrefillBatch(
+            token_ids=jnp.asarray(ids, jnp.int32),
+            positions=jnp.asarray(np.arange(T), jnp.int32),
+            seq_ids=jnp.zeros((T,), jnp.int32),
+            slot_mapping=jnp.asarray(
+                [table[p // block_size] * block_size + p % block_size
+                 for p in range(T)], jnp.int32),
+            logits_indices=jnp.asarray([T - 1], jnp.int32),
+        )
+        hidden, kv = model.forward(params, batch, worker.kv_cache)
+        logits = np.asarray(
+            model.compute_logits(params, hidden).astype(jnp.float32))
+        logp = logits - _logsumexp(logits)
+        # Teacher-forced NLL of tokens 1..T-1 given the paged-cache
+        # state (prefill writes quantized KV; decode positions below
+        # re-read it).
+        for pos in range(1, T):
+            dbatch = DecodeBatch(
+                token_ids=jnp.asarray([ids[pos - 1]], jnp.int32),
+                positions=jnp.asarray([pos - 1], jnp.int32),
+                slot_mapping=jnp.asarray([int(PAD_SLOT)], jnp.int32),
+                block_tables=jnp.asarray([table], jnp.int32),
+                context_lens=jnp.asarray([pos], jnp.int32),
+            )
+            dh, kv = model.forward(params, dbatch, kv)
+            dlogits = np.asarray(
+                model.compute_logits(params, dh).astype(jnp.float32))[0]
+            dlogp = dlogits - _logsumexp(dlogits[None])[0]
+            total_nll -= float(dlogp[ids[pos]])
+            total_tokens += 1
+        worker.kv_cache = kv
+    return total_nll, total_tokens
+
+
+def _logsumexp(x):
+    m = x.max(-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
+
+
+def run_config(model_dir, dataset_ids, seq_len, stride, kv_dtype, quant):
+    from vllm_tpu import LLM
+    llm = LLM(model=model_dir, kv_cache_dtype=kv_dtype, quantization=quant,
+              max_model_len=seq_len + 8, max_num_seqs=1,
+              disable_log_stats=True)
+    nll, n = batched_nll(llm, dataset_ids, seq_len, stride)
+    return math.exp(nll / n)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--seq-len", type=int, default=1024)
+    parser.add_argument("--stride", type=int, default=1024)
+    parser.add_argument("--max-tokens", type=int, default=8192,
+                        help="cap on evaluated dataset tokens")
+    parser.add_argument(
+        "--configs", nargs="+",
+        default=["fp:bfloat16", "int8kv:int8", "int8w:int8+w"],
+        help="name:kv_dtype[+w] — +w adds weight-only int8")
+    args = parser.parse_args()
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    with open(args.dataset) as f:
+        text = f.read()
+    ids = tokenizer.encode(text)[:args.max_tokens]
+    print(f"dataset: {len(ids)} tokens, window {args.seq_len}")
+
+    results = {}
+    for spec in args.configs:
+        name, cfg = spec.split(":")
+        quant = "int8" if cfg.endswith("+w") else None
+        kv = cfg.removesuffix("+w")
+        ppl = run_config(args.model, ids, args.seq_len, args.stride, kv,
+                         quant)
+        results[name] = ppl
+        print(f"{name}: kv={kv} quant={quant} ppl={ppl:.4f}")
+    if "fp" in results:
+        for name, ppl in results.items():
+            if name != "fp":
+                print(f"Δppl {name} vs fp: {ppl - results['fp']:+.4f}")
+
+
+if __name__ == "__main__":
+    main()

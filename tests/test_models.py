@@ -168,3 +168,52 @@ def test_paged_decode_matches_hf(family, hf_pairs):
         np.testing.assert_allclose(logits, hf_steps[step], atol=2e-3,
                                    rtol=2e-3)
         ids.append(int(np.argmax(hf_steps[step])))
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_int8_weight_only_matches_dequantized(family, hf_pairs):
+    """Weight-only INT8: the quantized forward must equal a float
+    forward over the explicitly dequantized weights (y = (x@Wq)*s is
+    algebraically x@(Wq*s) for per-column scales)."""
+    from vllm_tpu.ops.quant import QuantizedLinear, dequantize_linear
+    _, ours, params = hf_pairs[family]
+    cfg = ours.cfg
+    quant_model = build_ours(family, cfg)
+    quant_model.quantization = "int8"
+
+    # Re-quantize from the float tree (deep copy so the fixture's
+    # params stay float).
+    import copy
+    qparams = copy.deepcopy(params)
+    from vllm_tpu.models.common import maybe_quantize
+    qparams = maybe_quantize(quant_model, qparams)
+
+    def dequant_tree(p):
+        if isinstance(p, QuantizedLinear):
+            return dequantize_linear(p, jnp.float32)
+        if isinstance(p, tuple):
+            return tuple(dequant_tree(x) for x in p)
+        if isinstance(p, dict):
+            return {k: dequant_tree(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [dequant_tree(x) for x in p]
+        return p
+
+    fparams = dequant_tree(qparams)
+
+    prompt = [5, 9, 77, 30, 2]
+    T = len(prompt)
+    T_pad = 8
+    batch = PrefillBatch(
+        token_ids=jnp.asarray(prompt + [0] * (T_pad - T), jnp.int32),
+        positions=jnp.asarray(list(range(T)) + [0] * (T_pad - T), jnp.int32),
+        seq_ids=jnp.asarray([0] * T + [-1] * (T_pad - T), jnp.int32),
+        slot_mapping=jnp.asarray(
+            list(range(T)) + [int(PAD_SLOT)] * (T_pad - T), jnp.int32),
+        logits_indices=jnp.asarray([T - 1], jnp.int32),
+    )
+    qh, _ = quant_model.forward(qparams, batch, empty_cache(ours))
+    fh, _ = ours.forward(fparams, batch, empty_cache(ours))
+    ql = np.asarray(quant_model.compute_logits(qparams, qh))[:T]
+    fl = np.asarray(ours.compute_logits(fparams, fh))[:T]
+    np.testing.assert_allclose(ql, fl, atol=1e-4, rtol=1e-4)

@@ -77,6 +77,7 @@ class ModelConfig:
         use_np_cache: bool = False,
         max_model_len: Optional[int] = None,
         hf_config=None,
+        quantization: Optional[str] = None,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer if tokenizer is not None else model
@@ -85,6 +86,12 @@ class ModelConfig:
         self.use_dummy_weights = use_dummy_weights
         self.download_dir = download_dir
         self.use_np_cache = use_np_cache
+        if quantization in ("none",):
+            quantization = None
+        if quantization not in (None, "int8"):
+            raise ValueError(
+                f"Unsupported quantization: {quantization} (have: int8)")
+        self.quantization = quantization
 
         if hf_config is None:
             from transformers import AutoConfig

@@ -27,6 +27,7 @@ class EngineArgs:
     use_dummy_weights: bool = False
     dtype: str = "auto"
     kv_cache_dtype: str = "auto"
+    quantization: Optional[str] = None  # weight-only: None | "int8"
     seed: int = 0
     max_model_len: Optional[int] = None
     worker_use_ray: bool = False  # accepted for CLI parity; ignored
@@ -66,6 +67,9 @@ class EngineArgs:
                                      "float32"])
         parser.add_argument("--kv-cache-dtype", type=str, default="auto",
                             choices=["auto", "bfloat16", "float32", "int8"])
+        parser.add_argument("--quantization", "-q", type=str, default=None,
+                            choices=["none", "int8"],
+                            help="weight-only quantization of the linears")
         parser.add_argument("--seed", type=int, default=0)
         parser.add_argument("--max-model-len", type=int, default=None)
         parser.add_argument("--worker-use-ray", action="store_true",
@@ -113,6 +117,7 @@ class EngineArgs:
             use_np_cache=self.use_np_cache,
             max_model_len=self.max_model_len,
             hf_config=self.hf_config,
+            quantization=self.quantization,
         )
         cache_config = CacheConfig(
             block_size=self.block_size,

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from vllm_tpu.ops import paged_decode_attention, prefill_attention, write_kv
+from vllm_tpu.ops.quant import QuantizedLinear, quantized_matmul
 
 
 class PrefillBatch(NamedTuple):
@@ -42,10 +43,13 @@ class DecodeBatch(NamedTuple):
     context_lens: jnp.ndarray  # [B] i32, 0 = padding row
 
 
-def dense(x: jnp.ndarray, w: jnp.ndarray,
-          b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x @ w (+ b). Weights stored [in, out] (transposed from torch)."""
-    y = x @ w
+def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w (+ b). Weights stored [in, out] (transposed from torch);
+    w may be a weight-only-INT8 QuantizedLinear."""
+    if isinstance(w, QuantizedLinear):
+        y = quantized_matmul(x, w)
+    else:
+        y = x @ w
     if b is not None:
         y = y + b
     return y
@@ -75,6 +79,26 @@ def attend(
                                      batch.block_tables, batch.context_lens,
                                      scale)
     return out, kv_cache
+
+
+def maybe_quantize(model, params):
+    """Apply the model's weight quantization mode to a loaded param
+    tree (shared by all model families)."""
+    if model.quantization is None:
+        return params
+    if model.quantization == "int8":
+        from vllm_tpu.ops.quant import quantize_model_params
+        return quantize_model_params(params, model.QUANT_LAYER_KEYS,
+                                     model.QUANT_TOP_KEYS)
+    raise ValueError(f"Unknown quantization: {model.quantization}")
+
+
+def maybe_quantize_shardings(model, shardings):
+    if model.quantization is None:
+        return shardings
+    from vllm_tpu.ops.quant import quantize_model_shardings
+    return quantize_model_shardings(shardings, model.QUANT_LAYER_KEYS,
+                                    model.QUANT_TOP_KEYS)
 
 
 def gather_last_hidden(hidden: jnp.ndarray, batch) -> jnp.ndarray:

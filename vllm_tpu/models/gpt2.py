@@ -13,15 +13,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import attend, dense
+from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+                                    maybe_quantize_shardings)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
 
 class GPT2Model:
 
-    def __init__(self, hf_config, dtype=jnp.bfloat16) -> None:
+    QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "c_proj", "c_fc",
+                        "mlp_c_proj")
+    QUANT_TOP_KEYS = ()  # lm_head is tied to wte (an embedding gather)
+
+    def __init__(self, hf_config, dtype=jnp.bfloat16,
+                 quantization=None) -> None:
         self.cfg = hf_config
         self.dtype = dtype
+        self.quantization = quantization
         self.hidden = hf_config.hidden_size
         self.heads = hf_config.num_attention_heads
         self.kv_heads = self.heads
@@ -96,12 +103,13 @@ class GPT2Model:
                 "c_fc": lin(H, I),
                 "mlp_c_proj": lin(I, H),
             })
-        return {
-            "wte": u(self.vocab, H),
-            "wpe": u(self.max_pos, H),
-            "layers": layers,
-            "ln_f": ln(),
-        }
+        return maybe_quantize(
+            self, {
+                "wte": u(self.vocab, H),
+                "wpe": u(self.max_pos, H),
+                "layers": layers,
+                "ln_f": ln(),
+            })
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -161,7 +169,7 @@ class GPT2Model:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return params
+        return maybe_quantize(self, params)
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))
@@ -177,9 +185,10 @@ class GPT2Model:
             "c_fc": col,
             "mlp_c_proj": row,
         }
-        return {
-            "wte": P("model", None),
-            "wpe": P(None, None),
-            "layers": [dict(layer) for _ in range(self.layers)],
-            "ln_f": ln,
-        }
+        return maybe_quantize_shardings(
+            self, {
+                "wte": P("model", None),
+                "wpe": P(None, None),
+                "layers": [dict(layer) for _ in range(self.layers)],
+                "ln_f": ln,
+            })

@@ -14,15 +14,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import attend, dense
+from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+                                    maybe_quantize_shardings)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, get_act_fn, layer_norm
 
 
 class GPTNeoXModel:
 
-    def __init__(self, hf_config, dtype=jnp.bfloat16) -> None:
+    QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "dense",
+                        "dense_h_to_4h", "dense_4h_to_h")
+    QUANT_TOP_KEYS = ("embed_out",)
+
+    def __init__(self, hf_config, dtype=jnp.bfloat16,
+                 quantization=None) -> None:
         self.cfg = hf_config
         self.dtype = dtype
+        self.quantization = quantization
         self.hidden = hf_config.hidden_size
         self.heads = hf_config.num_attention_heads
         self.kv_heads = self.heads
@@ -114,12 +121,13 @@ class GPTNeoXModel:
                 "dense_h_to_4h": lin(H, I),
                 "dense_4h_to_h": lin(I, H),
             })
-        return {
-            "embed_in": u(self.vocab, H),
-            "layers": layers,
-            "final_layer_norm": ln(),
-            "embed_out": u(H, self.vocab),
-        }
+        return maybe_quantize(
+            self, {
+                "embed_in": u(self.vocab, H),
+                "layers": layers,
+                "final_layer_norm": ln(),
+                "embed_out": u(H, self.vocab),
+            })
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -184,7 +192,7 @@ class GPTNeoXModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return params
+        return maybe_quantize(self, params)
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))
@@ -200,9 +208,10 @@ class GPTNeoXModel:
             "dense_h_to_4h": col,
             "dense_4h_to_h": row,
         }
-        return {
-            "embed_in": P("model", None),
-            "layers": [dict(layer) for _ in range(self.layers)],
-            "final_layer_norm": ln,
-            "embed_out": (P(None, "model")),
-        }
+        return maybe_quantize_shardings(
+            self, {
+                "embed_in": P("model", None),
+                "layers": [dict(layer) for _ in range(self.layers)],
+                "final_layer_norm": ln,
+                "embed_out": (P(None, "model")),
+            })

@@ -15,15 +15,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import attend, dense
+from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+                                    maybe_quantize_shardings)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, rms_norm
 
 
 class LlamaModel:
 
-    def __init__(self, hf_config, dtype=jnp.bfloat16) -> None:
+    QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                        "up_proj", "down_proj")
+    QUANT_TOP_KEYS = ("lm_head",)
+
+    def __init__(self, hf_config, dtype=jnp.bfloat16,
+                 quantization=None) -> None:
         self.cfg = hf_config
         self.dtype = dtype
+        self.quantization = quantization
         self.hidden = hf_config.hidden_size
         self.heads = hf_config.num_attention_heads
         self.kv_heads = getattr(hf_config, "num_key_value_heads", self.heads)
@@ -95,12 +102,13 @@ class LlamaModel:
                 "up_proj": u(H, I),
                 "down_proj": u(I, H),
             })
-        return {
-            "embed_tokens": u(self.vocab, H),
-            "layers": layers,
-            "norm": jnp.ones((H,), jnp.float32),
-            "lm_head": u(H, self.vocab),
-        }
+        return maybe_quantize(
+            self, {
+                "embed_tokens": u(self.vocab, H),
+                "layers": layers,
+                "norm": jnp.ones((H,), jnp.float32),
+                "lm_head": u(H, self.vocab),
+            })
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         """Map HF LLaMA checkpoint names into the param tree."""
@@ -137,7 +145,7 @@ class LlamaModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return params
+        return maybe_quantize(self, params)
 
     def param_shardings(self) -> Dict[str, Any]:
         """TP PartitionSpecs: heads/intermediate shard over 'model'."""
@@ -155,9 +163,10 @@ class LlamaModel:
             "up_proj": col,
             "down_proj": row,
         }
-        return {
-            "embed_tokens": P("model", None),
-            "layers": [dict(layer) for _ in range(self.layers)],
-            "norm": rep,
-            "lm_head": col,
-        }
+        return maybe_quantize_shardings(
+            self, {
+                "embed_tokens": P("model", None),
+                "layers": [dict(layer) for _ in range(self.layers)],
+                "norm": rep,
+                "lm_head": col,
+            })

@@ -38,8 +38,9 @@ def _get_architecture(hf_config) -> str:
 
 def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
     arch = _get_architecture(model_config.hf_config)
-    model = MODEL_REGISTRY[arch](model_config.hf_config,
-                                 dtype=model_config.dtype)
+    model = MODEL_REGISTRY[arch](
+        model_config.hf_config, dtype=model_config.dtype,
+        quantization=getattr(model_config, "quantization", None))
     if model_config.use_dummy_weights:
         logger.info("Initializing %s with dummy weights.", arch)
         params = model.init_dummy_params(model_config.seed)

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import attend, dense
+from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+                                    maybe_quantize_shardings)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
 # Parity: OPT checkpoints index position embeddings from 2
@@ -23,9 +24,15 @@ POS_OFFSET = 2
 
 class OPTModel:
 
-    def __init__(self, hf_config, dtype=jnp.bfloat16) -> None:
+    QUANT_LAYER_KEYS = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1",
+                        "fc2")
+    QUANT_TOP_KEYS = ()  # lm_head tied; project_in/out are small
+
+    def __init__(self, hf_config, dtype=jnp.bfloat16,
+                 quantization=None) -> None:
         self.cfg = hf_config
         self.dtype = dtype
+        self.quantization = quantization
         self.hidden = hf_config.hidden_size
         self.heads = hf_config.num_attention_heads
         self.kv_heads = self.heads
@@ -123,7 +130,7 @@ class OPTModel:
         if self.embed_dim != H:
             params["project_in"] = u(self.embed_dim, H)
             params["project_out"] = u(H, self.embed_dim)
-        return params
+        return maybe_quantize(self, params)
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -175,7 +182,7 @@ class OPTModel:
                     stash(lp, f"{i}/{leaf}", kind, wj)
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return params
+        return maybe_quantize(self, params)
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))
@@ -201,4 +208,4 @@ class OPTModel:
         if self.embed_dim != self.hidden:
             shardings["project_in"] = P(None, None)
             shardings["project_out"] = P(None, None)
-        return shardings
+        return maybe_quantize_shardings(self, shardings)

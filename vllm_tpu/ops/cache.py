@@ -84,24 +84,32 @@ def write_kv(
     (block * block_size + offset), PAD_SLOT for padding tokens.
     """
     data, scales = kv_cache
+    kvh = data.shape[3]
     block_size = data.shape[4]
     block_ids = slot_mapping // block_size
     offsets = slot_mapping % block_size
 
+    # Per-(token, head) row scatter: [T, KVH] index arrays over the
+    # adjacent (block, head, offset) dims leave only the minor-most D
+    # axis as the scatter window. A strided window (indexing offsets
+    # with the head dim in between) makes XLA's layout assignment
+    # prefer a KVH<->BS-swapped operand layout, inserting TWO
+    # full-cache layout copies around EVERY layer's scatter — measured
+    # 120 ms/step on a 7B cache vs ~0 for this form.
+    b2 = jnp.broadcast_to(block_ids[:, None], block_ids.shape + (kvh,))
+    o2 = jnp.broadcast_to(offsets[:, None], offsets.shape + (kvh,))
+    h2 = jnp.broadcast_to(jnp.arange(kvh, dtype=slot_mapping.dtype)[None],
+                          block_ids.shape + (kvh,))
+
     if scales is not None:
         k, k_scale = quantize_kv(k)
         v, v_scale = quantize_kv(v)
-        scales = scales.at[layer, 0, block_ids, :, offsets].set(k_scale,
-                                                                mode="drop")
-        scales = scales.at[layer, 1, block_ids, :, offsets].set(v_scale,
-                                                                mode="drop")
-    # Mixed basic/advanced indexing: the (layer, kv, block, offset)
-    # advanced dims are non-adjacent, so the batched token dim lands in
-    # front — updates are [T, KVH, D], exactly k/v's layout.
-    data = data.at[layer, 0, block_ids, :, offsets, :].set(
-        k.astype(data.dtype), mode="drop")
-    data = data.at[layer, 1, block_ids, :, offsets, :].set(
-        v.astype(data.dtype), mode="drop")
+        scales = scales.at[layer, 0, b2, h2, o2].set(k_scale, mode="drop")
+        scales = scales.at[layer, 1, b2, h2, o2].set(v_scale, mode="drop")
+    data = data.at[layer, 0, b2, h2, o2, :].set(k.astype(data.dtype),
+                                                mode="drop")
+    data = data.at[layer, 1, b2, h2, o2, :].set(v.astype(data.dtype),
+                                                mode="drop")
     return KVCache(data, scales)
 
 

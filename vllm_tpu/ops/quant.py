@@ -1,0 +1,93 @@
+"""Weight-only INT8 quantization for linear layers.
+
+North star beyond the reference (BASELINE.md: "weight-only INT8
+linears"): decode on TPU is weight-bandwidth-bound, so halving the
+bytes per weight read roughly doubles decode throughput and frees HBM
+for KV blocks.
+
+Scheme: symmetric per-output-channel scales. ``y = (x @ W_q) * s`` is
+exactly ``x @ (W_q * s)`` when ``s`` is per-column, so dequantization
+collapses to one cheap [T, out] multiply on the matmul result — the
+int8->bf16 convert of the weight tile fuses into the dot's operand
+load under XLA (the "fused dequant matmul" the reference implements
+by hand in CUDA for its KV path).
+"""
+
+from typing import Any, List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+_INT8_MAX = 127.0
+
+
+class QuantizedLinear(NamedTuple):
+    """An [in, out] linear weight, int8 payload + per-column scales."""
+    w: jnp.ndarray  # [in, out] int8
+    scale: jnp.ndarray  # [out] f32
+
+
+def quantize_linear_weight(w: jnp.ndarray) -> QuantizedLinear:
+    """Symmetric per-output-channel int8 quantization of [in, out]."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax / _INT8_MAX, 1e-10)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -_INT8_MAX,
+                 _INT8_MAX).astype(jnp.int8)
+    return QuantizedLinear(q, scale.astype(jnp.float32))
+
+
+def dequantize_linear(ql: QuantizedLinear,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    return (ql.w.astype(jnp.float32) * ql.scale).astype(dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, ql: QuantizedLinear) -> jnp.ndarray:
+    """x [T, in] @ quantized weight -> [T, out] in x.dtype."""
+    y = jnp.matmul(x, ql.w.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y * ql.scale).astype(x.dtype)
+
+
+def _quant_leaf(leaf):
+    """Quantize a linear param leaf: bare [in, out] array, or a
+    (weight, bias) tuple (bias stays as is)."""
+    if isinstance(leaf, tuple):
+        w, b = leaf
+        return (quantize_linear_weight(w), b)
+    return quantize_linear_weight(leaf)
+
+
+def _quant_leaf_sharding(spec):
+    """Mirror _quant_leaf on a PartitionSpec leaf: the int8 payload
+    keeps the weight's spec; per-column scales shard like the output
+    dim (column-parallel -> sharded scales, row-parallel -> replicated)."""
+    def one(w_spec):
+        return QuantizedLinear(w_spec, P(w_spec[-1]))
+
+    if isinstance(spec, tuple) and not isinstance(spec, P):
+        w_spec, b_spec = spec
+        return (one(w_spec), b_spec)
+    return one(spec)
+
+
+def quantize_model_params(params: dict, layer_keys: Tuple[str, ...],
+                          top_keys: Tuple[str, ...]) -> dict:
+    """Quantize the named linear leaves of a model param tree in place."""
+    for lp in params["layers"]:
+        for key in layer_keys:
+            lp[key] = _quant_leaf(lp[key])
+    for key in top_keys:
+        if key in params:
+            params[key] = _quant_leaf(params[key])
+    return params
+
+
+def quantize_model_shardings(shardings: dict, layer_keys: Tuple[str, ...],
+                             top_keys: Tuple[str, ...]) -> dict:
+    for lp in shardings["layers"]:
+        for key in layer_keys:
+            lp[key] = _quant_leaf_sharding(lp[key])
+    for key in top_keys:
+        if key in shardings:
+            shardings[key] = _quant_leaf_sharding(shardings[key])
+    return shardings

@@ -520,10 +520,13 @@ class TPUWorker:
         return self._collect_prompt_outputs(metadata_list, out)
 
     def _collect_prompt_outputs(self, metadata_list, out):
-        samples = np.asarray(out.samples)
-        sample_lps = np.asarray(out.sample_logprobs)
-        topk_ids = np.asarray(out.topk_ids)
-        topk_lps = np.asarray(out.topk_logprobs)
+        # One batched device->host transfer (4 separate np.asarray
+        # round-trips cost ~10s of ms through a tunneled runtime).
+        out = jax.device_get(out)
+        samples = out.samples
+        sample_lps = out.sample_logprobs
+        topk_ids = out.topk_ids
+        topk_lps = out.topk_logprobs
 
         results: Dict[int, SequenceOutputs] = {}
         for i, md in enumerate(metadata_list):
@@ -615,10 +618,11 @@ class TPUWorker:
         return self._collect_decode_outputs(metadata_list, row_seq, out)
 
     def _collect_decode_outputs(self, metadata_list, row_seq, out):
-        samples = np.asarray(out.samples)
-        sample_lps = np.asarray(out.sample_logprobs)
-        topk_ids = np.asarray(out.topk_ids)
-        topk_lps = np.asarray(out.topk_logprobs)
+        out = jax.device_get(out)  # one batched device->host transfer
+        samples = out.samples
+        sample_lps = out.sample_logprobs
+        topk_ids = out.topk_ids
+        topk_lps = out.topk_logprobs
 
         # Row index per (group, seq).
         row_of: Dict[int, int] = {
