@@ -66,7 +66,8 @@ def llama_7b_config():
 
 
 def build_llm(kv_cache_dtype: str, max_num_seqs: int,
-              max_num_batched_tokens: int):
+              max_num_batched_tokens: int, quantization=None,
+              num_decode_steps: int = 8):
     from vllm_tpu import LLM
     return LLM(
         model="llama-7b-bench",
@@ -75,6 +76,8 @@ def build_llm(kv_cache_dtype: str, max_num_seqs: int,
         use_dummy_weights=True,
         dtype="bfloat16",
         kv_cache_dtype=kv_cache_dtype,
+        quantization=quantization,
+        num_decode_steps=num_decode_steps,
         max_num_seqs=max_num_seqs,
         max_num_batched_tokens=max_num_batched_tokens,
         disable_log_stats=True,
@@ -115,10 +118,12 @@ def run(llm, reqs):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--num-requests", type=int, default=48)
-    parser.add_argument("--max-num-seqs", type=int, default=32)
+    parser.add_argument("--num-requests", type=int, default=128)
+    parser.add_argument("--max-num-seqs", type=int, default=64)
     parser.add_argument("--max-num-batched-tokens", type=int, default=1024)
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
+    parser.add_argument("--quantization", type=str, default="int8")
+    parser.add_argument("--num-decode-steps", type=int, default=8)
     parser.add_argument("--quick", action="store_true",
                         help="small sanity run (8 requests)")
     args = parser.parse_args()
@@ -132,8 +137,10 @@ def main():
     if kv_dtype == "auto":
         kv_dtype = ("int8"
                     if "int8" in SUPPORTED_KV_DTYPES else "bfloat16")
+    quant = None if args.quantization in ("none", "") else args.quantization
     llm = build_llm(kv_dtype, args.max_num_seqs,
-                    args.max_num_batched_tokens)
+                    args.max_num_batched_tokens, quant,
+                    args.num_decode_steps)
 
     vocab = 32000
     # Warmup: trigger prefill/decode bucket compilation off the clock.
@@ -143,8 +150,9 @@ def main():
     elapsed, prompt_tokens, out_tokens = run(llm, reqs)
 
     value = out_tokens / elapsed
+    w = "int8w" if quant == "int8" else "bf16w"
     print(json.dumps({
-        "metric": f"llama7b_output_tokens_per_s_1chip_kv_{kv_dtype}",
+        "metric": f"llama7b_output_tokens_per_s_1chip_{w}_kv_{kv_dtype}",
         "value": round(value, 2),
         "unit": "tokens/s",
         "vs_baseline": round(value / BASELINE_OUTPUT_TOKS_PER_S, 4),

@@ -1,0 +1,70 @@
+"""Child process for tests/test_multihost.py: a 2-process CPU
+'cluster' — process 0 drives the engine, process 1 replays broadcast
+plans. Prints the driver's generated token ids as JSON on stdout."""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("VLLM_TPU_INTERPRET", "1")
+os.environ["VLLM_TPU_FORCE_XLA_OPS"] = "1"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+
+
+class CharTokenizer:
+    vocab_size = 128
+    eos_token_id = None
+
+    def encode(self, text):
+        return [ord(c) % 128 for c in text]
+
+    def convert_ids_to_tokens(self, ids, skip_special_tokens=False):
+        return chr(ids) if isinstance(ids, int) else [chr(i) for i in ids]
+
+    def convert_tokens_to_string(self, tokens):
+        return "".join(tokens)
+
+    def get_added_vocab(self):
+        return {}
+
+
+def main():
+    port, process_id, model_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    from vllm_tpu.parallel.distributed import (follower_loop,
+                                               init_distributed, is_driver)
+    init_distributed(f"localhost:{port}", 2, process_id)
+    assert jax.device_count() == 2
+
+    from vllm_tpu.engine.arg_utils import EngineArgs
+    args = EngineArgs(model=model_path, dtype="float32", block_size=4,
+                      tensor_parallel_size=2, num_device_blocks_override=64,
+                      swap_space=0.001, max_model_len=48,
+                      max_num_batched_tokens=32, max_num_seqs=8,
+                      max_prefill_seqs=4, disable_log_stats=True)
+    tok = CharTokenizer()
+
+    if not is_driver():
+        follower_loop(args, tokenizer=tok)
+        return
+
+    from vllm_tpu import SamplingParams
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    engine = LLMEngine.from_engine_args(args, tokenizer=tok)
+    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    engine.add_request("0", "hello mesh", params)
+    engine.add_request("1", "tp", params)
+    results = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+    engine.shutdown()
+    print("RESULT " + json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -216,3 +216,58 @@ def test_ignored_overlong_prompt_reported(checkpoint):
     assert len(outs) == 1 and outs[0].finished
     assert outs[0].outputs[0].finish_reason == "length"
     assert not engine.has_unfinished_requests()
+
+
+def test_multi_step_decode_matches_hf(checkpoint):
+    """num_decode_steps > 1 fuses decode steps on device (tokens feed
+    back in-scan); greedy output must be identical to single-step."""
+    _, hf_model = checkpoint
+    llm = make_llm(checkpoint, num_decode_steps=4)
+    prompts = ["multi step", "x", "fused decode chain"]
+    params = SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True)
+    outs = llm.generate(prompts, params, use_tqdm=False)
+    tok = MockTokenizer(VOCAB)
+    for prompt, out in zip(prompts, outs):
+        expected = hf_greedy(hf_model, tok.encode(prompt), 9)
+        assert out.outputs[0].token_ids == expected, prompt
+
+
+def test_multi_step_stop_string_mid_chunk(checkpoint):
+    """A stop hit inside a fused chunk must discard the chunk's
+    remaining speculative tokens."""
+    _, hf_model = checkpoint
+    prompt = "stop mid chunk"
+    expected = hf_greedy(hf_model, MockTokenizer(VOCAB).encode(prompt), 8)
+    stop_char = chr(expected[2])
+    llm = make_llm(checkpoint, num_decode_steps=4)
+    params = SamplingParams(temperature=0.0, max_tokens=8, stop=[stop_char],
+                            ignore_eos=True)
+    [out] = llm.generate(prompt, params, use_tqdm=False)
+    assert out.outputs[0].finish_reason == "stop"
+    assert len(out.outputs[0].token_ids) <= 3
+    assert not out.outputs[0].text.endswith(stop_char)
+
+
+def test_multi_step_beam_falls_back_single_step(checkpoint):
+    """Beam groups force single-step chunks; results must stay valid."""
+    llm = make_llm(checkpoint, num_decode_steps=4)
+    params = SamplingParams(use_beam_search=True, best_of=4, n=2,
+                            temperature=0.0, max_tokens=5, ignore_eos=True)
+    [out] = llm.generate("beam fused", params, use_tqdm=False)
+    assert len(out.outputs) == 2
+    assert all(len(c.token_ids) == 5 for c in out.outputs)
+
+
+def test_multi_step_preemption(checkpoint):
+    """Multi-step chunks + tiny block pool: preemption still produces
+    exact greedy outputs."""
+    _, hf_model = checkpoint
+    llm = make_llm(checkpoint, num_device_blocks_override=14,
+                   num_decode_steps=4)
+    prompts = ["aaaa bbbb cccc", "dddd eeee ffff"]
+    params = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    outs = llm.generate(prompts, params, use_tqdm=False)
+    tok = MockTokenizer(VOCAB)
+    for prompt, out in zip(prompts, outs):
+        expected = hf_greedy(hf_model, tok.encode(prompt), 10)
+        assert out.outputs[0].token_ids == expected, prompt

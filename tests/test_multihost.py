@@ -1,0 +1,73 @@
+"""Multi-process runtime integration: a 2-process CPU 'cluster'
+(jax.distributed over localhost, 1 device per process) must reproduce
+the single-process tp=1 greedy outputs exactly. Exercises the
+plan-broadcast channel, follower replay loop, replicated sampler
+outputs, and shutdown. The reference never had an automated
+multi-worker test (SURVEY.md §4)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+import torch
+
+from vllm_tpu import LLM, SamplingParams
+
+from .utils import MockTokenizer
+
+VOCAB = 128
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    import transformers as tf
+    cfg = tf.LlamaConfig(vocab_size=VOCAB, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=8, num_key_value_heads=8,
+                         max_position_embeddings=48)
+    path = tmp_path_factory.mktemp("llama-mh")
+    torch.manual_seed(3)
+    tf.LlamaForCausalLM(cfg).eval().save_pretrained(
+        str(path), safe_serialization=True)
+    return str(path)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_engine_matches_single(checkpoint, tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # children pin 1 CPU device themselves
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    child = os.path.join(os.path.dirname(__file__), "multihost_child.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(port), str(rank), checkpoint],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo", text=True) for rank in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    result_line = [l for l in outs[0].splitlines()
+                   if l.startswith("RESULT ")]
+    assert result_line, outs[0][-3000:]
+    dist_results = json.loads(result_line[0][len("RESULT "):])
+
+    # Single-process tp=1 reference in THIS process.
+    llm = LLM(model=checkpoint, tokenizer=MockTokenizer(VOCAB),
+              dtype="float32", block_size=4, num_device_blocks_override=64,
+              swap_space=0.001, max_model_len=48, max_num_batched_tokens=32,
+              max_num_seqs=8, max_prefill_seqs=4)
+    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    ref = llm.generate(["hello mesh", "tp"], params, use_tqdm=False)
+    assert dist_results["0"] == ref[0].outputs[0].token_ids
+    assert dist_results["1"] == ref[1].outputs[0].token_ids

@@ -1,0 +1,72 @@
+"""Tensor-parallel correctness on a virtual 8-device CPU mesh
+(conftest forces xla_force_host_platform_device_count=8).
+
+The reference validated multi-GPU only manually (SURVEY.md §4); here
+tp=8 must reproduce tp=1 greedy outputs exactly — the same check the
+driver's dryrun_multichip compiles, but asserting numerics.
+"""
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from vllm_tpu import LLM, SamplingParams
+
+from .utils import MockTokenizer
+
+VOCAB = 128
+MAX_LEN = 48
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    import transformers as tf
+    # 8 heads so kv-heads shard 1-per-device at tp=8.
+    cfg = tf.LlamaConfig(vocab_size=VOCAB, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=8, num_key_value_heads=8,
+                         max_position_embeddings=MAX_LEN)
+    torch.manual_seed(3)
+    hf_model = tf.LlamaForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("llama-tiny-tp")
+    hf_model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def make_llm(checkpoint, tp, **kwargs):
+    defaults = dict(
+        tokenizer=MockTokenizer(VOCAB),
+        dtype="float32",
+        block_size=4,
+        num_device_blocks_override=64,
+        swap_space=0.001,
+        max_model_len=MAX_LEN,
+        max_num_batched_tokens=32,
+        max_num_seqs=8,
+        max_prefill_seqs=4,
+        tensor_parallel_size=tp,
+    )
+    defaults.update(kwargs)
+    return LLM(model=checkpoint, **defaults)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp8_matches_tp1_greedy(checkpoint):
+    prompts = ["parallel", "mesh check xyz"]
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    ref = [o.outputs[0].token_ids
+           for o in make_llm(checkpoint, 1).generate(prompts, params,
+                                                     use_tqdm=False)]
+    tp8 = [o.outputs[0].token_ids
+           for o in make_llm(checkpoint, 8).generate(prompts, params,
+                                                     use_tqdm=False)]
+    assert tp8 == ref
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp8_int8_weights_runs(checkpoint):
+    llm = make_llm(checkpoint, 8, quantization="int8")
+    params = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    [out] = llm.generate("quant tp", params, use_tqdm=False)
+    assert len(out.outputs[0].token_ids) == 4

@@ -235,10 +235,20 @@ class SchedulerConfig:
         prefill_token_buckets: Optional[List[int]] = None,
         decode_batch_buckets: Optional[List[int]] = None,
         max_prefill_seqs: int = 16,
+        num_decode_steps: int = 1,
     ) -> None:
         self.max_num_batched_tokens = max_num_batched_tokens
         self.max_num_seqs = max_num_seqs
         self.max_model_len = max_model_len
+        if num_decode_steps < 1:
+            raise ValueError(
+                f"num_decode_steps must be >= 1, got {num_decode_steps}")
+        # Decode steps fused into one device program: sampled tokens
+        # feed back on device, the host applies them (and checks stops)
+        # per chunk. Trades up to num_decode_steps-1 wasted tokens on a
+        # stop for a num_decode_steps-fold cut in host/dispatch
+        # overhead per token.
+        self.num_decode_steps = num_decode_steps
         if prefill_token_buckets is None:
             prefill_token_buckets = make_buckets(
                 min(64, max_num_batched_tokens), max_num_batched_tokens)

@@ -65,10 +65,15 @@ class BlockSpaceManager:
         num_device_blocks: int,
         num_cpu_blocks: int,
         watermark: float = 0.01,
+        max_blocks_per_seq: Optional[int] = None,
     ) -> None:
         self.block_size = block_size
         self.num_total_device_blocks = num_device_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
+        # Cap on a sequence's table length (= ceil(max_model_len /
+        # block_size)); multi-step chunks never write past it (the
+        # executor PAD-drops those positions).
+        self.max_blocks_per_seq = max_blocks_per_seq
         assert watermark >= 0.0
         # Keep a small reserve of free blocks so a burst of admissions
         # doesn't immediately force preemption.
@@ -104,34 +109,45 @@ class BlockSpaceManager:
 
     # -- decode-slot reservation -------------------------------------------
 
-    def can_append_slot(self, seq_group: SequenceGroup) -> bool:
-        # Worst case: every running sequence rolls into a new block.
+    def can_append_slot(self, seq_group: SequenceGroup,
+                        num_steps: int = 1) -> bool:
+        # Worst case: every running sequence needs ceil(n/bs)+1 new
+        # blocks over a num_steps chunk (the +1 covers a mid-block
+        # start rolling over).
+        per_seq = -(-num_steps // self.block_size) + 1 if num_steps > 1 else 1
         num_free = self.device_allocator.get_num_free_blocks()
         return seq_group.num_seqs(
-            status=SequenceStatus.RUNNING) <= num_free
+            status=SequenceStatus.RUNNING) * per_seq <= num_free
 
-    def append_slot(self, seq: Sequence) -> Optional[Tuple[int, int]]:
-        """Reserve the KV slot for the token this step will write.
+    def append_slot(self, seq: Sequence,
+                    num_steps: int = 1) -> Optional[Tuple[int, int]]:
+        """Reserve the KV slots the next ``num_steps`` decode steps will
+        write (positions len-1 .. len+num_steps-2).
 
         Returns a (src, dst) block-number pair when copy-on-write is
         required (the trailing block is shared with a sibling sequence).
         """
         block_table = self.block_tables[seq.seq_id]
 
-        if len(block_table) < seq.num_logical_blocks:
-            # Token rolls into a fresh block.
-            block_table.append(self.device_allocator.allocate())
-            return None
+        cow: Optional[Tuple[int, int]] = None
+        if len(block_table) >= seq.num_logical_blocks and block_table:
+            # Position len-1 lands in the existing trailing block; copy
+            # it first if a sibling shares it.
+            last_block = block_table[-1]
+            assert last_block.device == Device.TPU
+            if last_block.ref_count > 1:
+                new_block = self.device_allocator.allocate()
+                block_table[-1] = new_block
+                self.device_allocator.free(last_block)
+                cow = (last_block.block_number, new_block.block_number)
 
-        last_block = block_table[-1]
-        assert last_block.device == Device.TPU
-        if last_block.ref_count == 1:
-            return None
-        # Shared with a sibling: copy-on-write.
-        new_block = self.device_allocator.allocate()
-        block_table[-1] = new_block
-        self.device_allocator.free(last_block)
-        return last_block.block_number, new_block.block_number
+        # Grow the table to cover the chunk's last written position.
+        needed = -(-(seq.get_len() + num_steps - 1) // self.block_size)
+        if self.max_blocks_per_seq is not None:
+            needed = min(needed, self.max_blocks_per_seq)
+        while len(block_table) < needed:
+            block_table.append(self.device_allocator.allocate())
+        return cow
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         """Beam fork: the child shares all parent blocks (no new memory;

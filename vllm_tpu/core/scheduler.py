@@ -63,6 +63,7 @@ class SchedulerOutputs:
         blocks_to_copy: Dict[int, List[int]],
         num_batched_tokens: int,
         ignored_seq_groups: Optional[List[SequenceGroup]] = None,
+        num_decode_steps: int = 1,
     ) -> None:
         self.kind = kind
         self.blocks_to_swap_in = blocks_to_swap_in
@@ -70,6 +71,12 @@ class SchedulerOutputs:
         self.blocks_to_copy = blocks_to_copy
         self.num_batched_tokens = num_batched_tokens
         self.ignored_seq_groups = ignored_seq_groups or []
+        # Decode steps fused into one device program this iteration
+        # (tokens feed back on device; the host applies them in order
+        # afterwards). No reference analog — it amortizes host/dispatch
+        # overhead, which on a tunneled TPU runtime dominates small
+        # decode steps.
+        self.num_decode_steps = num_decode_steps
         # Swap-in and swap-out must never happen in the same step: the
         # plan would otherwise race on host-buffer slots.
         assert not (blocks_to_swap_in and blocks_to_swap_out)
@@ -97,6 +104,8 @@ class Scheduler:
             block_size=cache_config.block_size,
             num_device_blocks=cache_config.num_device_blocks,
             num_cpu_blocks=cache_config.num_cpu_blocks,
+            max_blocks_per_seq=-(-scheduler_config.max_model_len //
+                                 cache_config.block_size),
         )
 
         self.waiting: Deque[SequenceGroup] = deque()
@@ -245,23 +254,47 @@ class Scheduler:
         ignored.clear()
         return outputs, admitted
 
+    def _decode_chunk_steps(self) -> int:
+        """How many decode steps this iteration fuses on device.
+
+        Constant (the config value) so exactly ONE decode program
+        exists per batch bucket — a variable chunk length would compile
+        a program per (bucket, steps) pair, paying tens of seconds
+        mid-serving. Sequences that hit max_tokens/EOS/stop inside a
+        chunk simply discard the remaining speculative tokens (bounded
+        waste: < num_decode_steps tokens per sequence, once).
+        Collapsed to 1 when any group needs per-token host bookkeeping
+        (beam forks) or per-token penalty state. Swapped groups may
+        rejoin this very iteration, so they join the scan."""
+        max_steps = self.scheduler_config.num_decode_steps
+        if max_steps <= 1:
+            return 1
+        for group in list(self.running) + list(self.swapped):
+            p = group.sampling_params
+            if (p.use_beam_search or p.presence_penalty != 0
+                    or p.frequency_penalty != 0):
+                return 1
+        return max_steps
+
     def _schedule_decode(
         self, now: float
     ) -> Tuple[SchedulerOutputs, List[SequenceGroup]]:
-        """Reserve a KV slot per running sequence (preempting if out of
+        """Reserve KV slots per running sequence (preempting if out of
         blocks), then swap groups back in if room remains."""
         blocks_to_swap_in: Dict[int, int] = {}
         blocks_to_swap_out: Dict[int, int] = {}
         blocks_to_copy: Dict[int, List[int]] = {}
 
         self.running = self.policy.sort_by_priority(now, self.running)
+        num_steps = self._decode_chunk_steps()
 
         running: List[SequenceGroup] = []
         preempted: List[SequenceGroup] = []
         queue = deque(self.running)
         while queue:
             seq_group = queue.popleft()
-            while not self.block_manager.can_append_slot(seq_group):
+            while not self.block_manager.can_append_slot(seq_group,
+                                                         num_steps):
                 if queue:
                     # Evict the lowest-priority group.
                     victim = queue.pop()
@@ -273,7 +306,7 @@ class Scheduler:
                     preempted.append(seq_group)
                     break
             else:
-                self._append_slot(seq_group, blocks_to_copy)
+                self._append_slot(seq_group, blocks_to_copy, num_steps)
                 running.append(seq_group)
         self.running = running
 
@@ -300,7 +333,7 @@ class Scheduler:
             blocks_to_swap_in.update(mapping)
             for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
                 seq.status = SequenceStatus.RUNNING
-            self._append_slot(seq_group, blocks_to_copy)
+            self._append_slot(seq_group, blocks_to_copy, num_steps)
             self.running.append(seq_group)
 
         num_batched_tokens = sum(
@@ -310,7 +343,8 @@ class Scheduler:
             blocks_to_swap_in=blocks_to_swap_in,
             blocks_to_swap_out=blocks_to_swap_out,
             blocks_to_copy=blocks_to_copy,
-            num_batched_tokens=num_batched_tokens,
+            num_batched_tokens=num_batched_tokens * num_steps,
+            num_decode_steps=num_steps,
         )
         return outputs, list(self.running)
 
@@ -349,9 +383,10 @@ class Scheduler:
         self,
         seq_group: SequenceGroup,
         blocks_to_copy: Dict[int, List[int]],
+        num_steps: int = 1,
     ) -> None:
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            cow = self.block_manager.append_slot(seq)
+            cow = self.block_manager.append_slot(seq, num_steps)
             if cow is not None:
                 src, dst = cow
                 blocks_to_copy.setdefault(src, []).append(dst)

@@ -39,6 +39,7 @@ class EngineArgs:
     max_num_batched_tokens: int = 2560
     max_num_seqs: int = 256
     max_prefill_seqs: int = 16
+    num_decode_steps: int = 1
     num_device_blocks_override: Optional[int] = None
     disable_log_stats: bool = False
     # Compile every bucketed step program at startup instead of on
@@ -89,6 +90,9 @@ class EngineArgs:
                             default=2560)
         parser.add_argument("--max-num-seqs", type=int, default=256)
         parser.add_argument("--max-prefill-seqs", type=int, default=16)
+        parser.add_argument("--num-decode-steps", type=int, default=1,
+                            help="decode steps fused per device program "
+                            "(tokens feed back on device)")
         parser.add_argument("--num-device-blocks-override", type=int,
                             default=None)
         parser.add_argument("--disable-log-stats", action="store_true")
@@ -135,6 +139,7 @@ class EngineArgs:
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
             max_prefill_seqs=self.max_prefill_seqs,
+            num_decode_steps=self.num_decode_steps,
         )
         model_config.verify_with_parallel_config(parallel_config)
         return model_config, cache_config, parallel_config, scheduler_config

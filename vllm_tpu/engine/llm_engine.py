@@ -110,6 +110,10 @@ class LLMEngine:
     def abort_request(self, request_id: str) -> None:
         self.scheduler.abort_seq_group(request_id)
 
+    def shutdown(self) -> None:
+        """Release follower processes (multi-host); no-op single-host."""
+        self.worker.shutdown_followers()
+
     def get_num_unfinished_requests(self) -> int:
         return self.scheduler.get_num_unfinished_seq_groups()
 
@@ -128,13 +132,19 @@ class LLMEngine:
         if not has_work and not sched_out.ignored_seq_groups:
             return []
 
-        seq_outputs = self.worker.execute_step(metadata_list, sched_out)
+        step_outputs = self.worker.execute_step(metadata_list, sched_out)
 
-        scheduled_groups = (self.scheduler.update(seq_outputs)
-                            if seq_outputs else [])
-        for seq_group in scheduled_groups:
-            self._decode_sequences(seq_group)
-            self._stop_sequences(seq_group)
+        # A decode chunk carries num_decode_steps token sets; apply them
+        # in order, re-checking stop conditions between sets so finished
+        # sequences ignore their remaining (speculatively computed)
+        # tokens.
+        scheduled_groups: List[Any] = []
+        for seq_outputs in step_outputs:
+            groups = self.scheduler.update(seq_outputs)
+            for seq_group in groups:
+                self._decode_sequences(seq_group)
+                self._stop_sequences(seq_group)
+            scheduled_groups = groups
         self.scheduler.free_finished_seq_groups()
 
         request_outputs = [

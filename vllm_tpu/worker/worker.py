@@ -107,6 +107,15 @@ class TPUWorker:
             if self.kv_quantized else None)
         self._rep = NamedSharding(self.mesh, P())
 
+        # Multi-host: process 0 drives (scheduler + plan broadcast);
+        # followers replay broadcast plans (parallel/distributed.py).
+        self._num_processes = jax.process_count()
+        self._is_driver = jax.process_index() == 0
+        self._plan_channel = None
+        if self._num_processes > 1:
+            from vllm_tpu.parallel.distributed import PlanChannel
+            self._plan_channel = PlanChannel()
+
         self._base_key = jax.random.PRNGKey(model_config.seed)
         self._step_counter = 0
         self._block_buckets = scheduler_config.block_table_buckets(
@@ -130,6 +139,11 @@ class TPUWorker:
 
     def profile_num_available_blocks(self) -> Tuple[int, int]:
         num_cpu = self.cache_config.swap_space_bytes // self.block_bytes()
+        if self._num_processes > 1:
+            # Host swap is per-process (each host holds its KV shard);
+            # not wired up for multi-host yet — preemption falls back
+            # to recompute.
+            num_cpu = 0
         if self.cache_config.num_device_blocks_override is not None:
             return self.cache_config.num_device_blocks_override, num_cpu
 
@@ -245,21 +259,71 @@ class TPUWorker:
     # ------------------------------------------------------------------
 
     def _make_step_fn(self, is_prefill: bool, num_samples: int,
-                      num_topk: int, hist_len: int):
-        key_sig = ("step", is_prefill, num_samples, num_topk)
+                      num_topk: int, hist_len: int, num_steps: int = 1):
+        key_sig = ("step", is_prefill, num_samples, num_topk, num_steps)
         if key_sig in self._fn_cache:
             return self._fn_cache[key_sig]
         model = self.model
+        block_size = self.block_size
+        max_model_len = self.scheduler_config.max_model_len
 
-        def step(params, kv_cache, batch, tensors, key):
-            hidden, kv_cache = model.forward(params, batch, kv_cache)
-            if is_prefill:
-                hidden = hidden[batch.logits_indices]
-            logits = model.compute_logits(params, hidden)
-            out = sample(logits, tensors, key, num_samples, num_topk)
-            return kv_cache, out
+        if is_prefill or num_steps == 1:
 
-        fn = jax.jit(step, donate_argnums=(1,))
+            def step(params, kv_cache, batch, tensors, key):
+                hidden, kv_cache = model.forward(params, batch, kv_cache)
+                if is_prefill:
+                    hidden = hidden[batch.logits_indices]
+                logits = model.compute_logits(params, hidden)
+                out = sample(logits, tensors, key, num_samples, num_topk)
+                if not is_prefill:
+                    out = jax.tree.map(lambda x: x[None], out)  # [1, ...]
+                return kv_cache, out
+        else:
+            # Multi-step decode: sampled tokens feed back on device, so
+            # one dispatch + one host fetch covers ``num_steps`` tokens
+            # per sequence (host/dispatch overhead dominates small
+            # decode steps on a tunneled runtime). Slot/position/context
+            # advance deterministically; the host applies tokens and
+            # stop checks per chunk.
+            def step(params, kv_cache, batch, tensors, key):
+                pad = batch.context_lens == 0
+
+                def body(carry, j):
+                    kv, tok, pos = carry
+                    block = jnp.take_along_axis(
+                        batch.block_tables,
+                        jnp.minimum(pos // block_size,
+                                    batch.block_tables.shape[1] -
+                                    1)[:, None], axis=1)[:, 0]
+                    # Chunk tail positions past max_model_len (a
+                    # sequence finished mid-chunk) must not write —
+                    # their table rows don't cover them.
+                    drop = pad | (pos >= max_model_len)
+                    slot = jnp.where(drop, PAD_SLOT,
+                                     block * block_size + pos % block_size)
+                    b = DecodeBatch(
+                        token_ids=tok,
+                        positions=pos,
+                        slot_mapping=slot,
+                        block_tables=batch.block_tables,
+                        context_lens=jnp.where(pad, 0, pos + 1),
+                    )
+                    hidden, kv = model.forward(params, b, kv)
+                    logits = model.compute_logits(params, hidden)
+                    out = sample(logits, tensors,
+                                 jax.random.fold_in(key, j), num_samples,
+                                 num_topk)
+                    return (kv, out.samples[0], pos + 1), out
+
+                (kv_cache, _, _), outs = jax.lax.scan(
+                    body, (kv_cache, batch.token_ids, batch.positions),
+                    jnp.arange(num_steps))
+                return kv_cache, outs  # leaves stacked on a leading S dim
+
+        # Sampler outputs replicate across the mesh so the driver
+        # process can fetch them locally under multi-host.
+        fn = jax.jit(step, donate_argnums=(1,),
+                     out_shardings=(self._kv_sharding, self._rep))
         self._fn_cache[key_sig] = fn
         return fn
 
@@ -325,7 +389,8 @@ class TPUWorker:
                 block_tables=jnp.zeros((B, MB), jnp.int32),
                 context_lens=jnp.zeros((B,), jnp.int32),
             )
-            fn = self._make_step_fn(False, 1, 1, hist0)
+            fn = self._make_step_fn(False, 1, 1, hist0,
+                                    cfg.num_decode_steps)
             self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
                                   tensors(B), key)
         jax.block_until_ready(self.kv_cache.data)
@@ -342,7 +407,7 @@ class TPUWorker:
         self,
         metadata_list: List[SequenceGroupMetadata],
         sched: SchedulerOutputs,
-    ) -> Dict[int, SequenceOutputs]:
+    ) -> List[Dict[int, SequenceOutputs]]:
         # Order matters: swap-out must read blocks before this step's
         # KV writes / COW copies can reuse them (the reference orders
         # this with per-layer CUDA events, attention.py:124-126; here
@@ -355,10 +420,10 @@ class TPUWorker:
         if sched.blocks_to_swap_in:
             self._swap_in(sched.blocks_to_swap_in)
         if not metadata_list:
-            return {}
+            return []
         if sched.kind == StepKind.PREFILL:
-            return self._run_prefill(metadata_list)
-        return self._run_decode(metadata_list)
+            return [self._run_prefill(metadata_list)]
+        return self._run_decode(metadata_list, sched.num_decode_steps)
 
     # -- block ops ----------------------------------------------------
 
@@ -406,19 +471,53 @@ class TPUWorker:
     def _copy(self, mapping: Dict[int, List[int]]) -> None:
         pairs = [(s, d) for s, dsts in mapping.items() for d in dsts]
         bucket = pick_bucket(PAIR_BUCKETS, len(pairs))
-        src = self._pad_ids([p[0] for p in pairs], bucket)
-        dst = self._pad_ids([p[1] for p in pairs], bucket)
-        self.kv_cache = self._copy_fn(self.kv_cache, jnp.asarray(src),
-                                      jnp.asarray(dst))
+        plan = [
+            np.array([2], np.int32),
+            self._pad_ids([p[0] for p in pairs], bucket),
+            self._pad_ids([p[1] for p in pairs], bucket),
+        ]
+        self._broadcast_plan(plan)
+        self._exec_copy(plan)
+
+    def _exec_copy(self, plan: List[np.ndarray]) -> None:
+        self.kv_cache = self._copy_fn(self.kv_cache, jnp.asarray(plan[1]),
+                                      jnp.asarray(plan[2]))
+
+    # -- multi-host plan replay (parallel/distributed.py) ----------------
+
+    def _broadcast_plan(self, plan: List[np.ndarray]) -> None:
+        if self._plan_channel is not None and self._is_driver:
+            from vllm_tpu.parallel.distributed import STEP_EXECUTE
+            self._plan_channel.send(STEP_EXECUTE, plan)
+
+    def execute_broadcast_plan(self, plan: List[np.ndarray]) -> None:
+        """Follower side: replay one broadcast step. Outputs are
+        replicated; only the driver reads them."""
+        kind = int(plan[0][0])
+        if kind == 0:
+            self._exec_prefill(plan)
+        elif kind == 1:
+            self._exec_decode(plan)
+        elif kind == 2:
+            self._exec_copy(plan)
+        else:
+            raise ValueError(f"unknown plan kind {kind}")
+
+    def shutdown_followers(self) -> None:
+        if self._plan_channel is not None and self._is_driver:
+            from vllm_tpu.parallel.distributed import STEP_SHUTDOWN
+            self._plan_channel.send(STEP_SHUTDOWN, [])
 
     # -- sampling-parameter rows ---------------------------------------
 
-    def _sampling_tensors(
+    def _sampling_arrays(
         self,
         rows: List[Tuple[SamplingParams, List[int]]],
         n: int,
         vocab: int,
-    ) -> Tuple[SamplingTensors, int]:
+    ) -> List[np.ndarray]:
+        """Per-row sampling parameters as 6 numpy arrays (the
+        SamplingTensors field order)."""
         temp = np.zeros((n,), np.float32)
         top_p = np.ones((n,), np.float32)
         top_k = np.full((n,), vocab, np.int32)
@@ -439,10 +538,7 @@ class TPUWorker:
             if need_hist and tokens:
                 tail = tokens[-hist_len:]
                 hist[i, :len(tail)] = tail
-        tensors = SamplingTensors(jnp.asarray(temp), jnp.asarray(top_p),
-                                  jnp.asarray(top_k), jnp.asarray(pres),
-                                  jnp.asarray(freq), jnp.asarray(hist))
-        return tensors, hist_len
+        return [temp, top_p, top_k, pres, freq, hist]
 
     @staticmethod
     def _row_topk_need(p: SamplingParams, is_prompt: bool) -> int:
@@ -483,28 +579,22 @@ class TPUWorker:
             first_seq_id = next(iter(md.seq_data))
             data = md.seq_data[first_seq_id]
             table = md.block_tables[first_seq_id]
-            plen = data.get_prompt_len()
-            for pos in range(plen):
-                tokens.append(data.prompt_token_ids[pos])
+            # Full token sequence, not just the prompt: a sequence
+            # preempted by RECOMPUTE re-prefills with its generated
+            # tokens included (parity: scheduler.py:369-380 requeues
+            # the group; worker re-processes everything).
+            all_ids = data.get_token_ids()
+            for pos, token in enumerate(all_ids):
+                tokens.append(token)
                 positions.append(pos)
                 seq_ids_flat.append(i)
                 slots.append(table[pos // self.block_size] * self.block_size +
                              pos % self.block_size)
             logits_idx[i] = len(tokens) - 1
-            rows.append((md.sampling_params, []))
+            rows.append((md.sampling_params, data.output_token_ids))
 
         T = pick_bucket(cfg.prefill_token_buckets, len(tokens))
         pad = T - len(tokens)
-        batch = PrefillBatch(
-            token_ids=jnp.asarray(np.array(tokens + [0] * pad, np.int32)),
-            positions=jnp.asarray(np.array(positions + [0] * pad, np.int32)),
-            seq_ids=jnp.asarray(
-                np.array(seq_ids_flat + [-1] * pad, np.int32)),
-            slot_mapping=jnp.asarray(
-                np.array(slots + [int(PAD_SLOT)] * pad, np.int32)),
-            logits_indices=jnp.asarray(logits_idx),
-        )
-        tensors, hist_len = self._sampling_tensors(rows, S, vocab)
         num_samples = pick_bucket(
             SAMPLE_BUCKETS,
             max((md.sampling_params.best_of for md in metadata_list
@@ -513,11 +603,27 @@ class TPUWorker:
             TOPK_BUCKETS,
             max(self._row_topk_need(md.sampling_params, True)
                 for md in metadata_list))
+        plan = [
+            np.array([0, num_samples, num_topk], np.int32),
+            np.array(tokens + [0] * pad, np.int32),
+            np.array(positions + [0] * pad, np.int32),
+            np.array(seq_ids_flat + [-1] * pad, np.int32),
+            np.array(slots + [int(PAD_SLOT)] * pad, np.int32),
+            logits_idx,
+        ] + self._sampling_arrays(rows, S, vocab)
+        self._broadcast_plan(plan)
+        out = self._exec_prefill(plan)
+        return self._collect_prompt_outputs(metadata_list, out)
 
+    def _exec_prefill(self, plan: List[np.ndarray]):
+        _, num_samples, num_topk = (int(x) for x in plan[0])
+        batch = PrefillBatch(*(jnp.asarray(a) for a in plan[1:6]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
+        hist_len = tensors.output_tokens.shape[1]
         fn = self._make_step_fn(True, num_samples, num_topk, hist_len)
         self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
                                 self._next_key())
-        return self._collect_prompt_outputs(metadata_list, out)
+        return out
 
     def _collect_prompt_outputs(self, metadata_list, out):
         # One batched device->host transfer (4 separate np.asarray
@@ -561,8 +667,10 @@ class TPUWorker:
     # -- decode --------------------------------------------------------
 
     def _run_decode(
-        self, metadata_list: List[SequenceGroupMetadata]
-    ) -> Dict[int, SequenceOutputs]:
+        self,
+        metadata_list: List[SequenceGroupMetadata],
+        num_steps: int = 1,
+    ) -> List[Dict[int, SequenceOutputs]]:
         cfg = self.scheduler_config
         vocab = self.model_config.get_vocab_size()
 
@@ -598,27 +706,41 @@ class TPUWorker:
         def padded(vals, fill=0):
             arr = np.full((B,), fill, np.int32)
             arr[:n] = vals
-            return jnp.asarray(arr)
+            return arr
 
-        batch = DecodeBatch(
-            token_ids=padded(tokens),
-            positions=padded(positions),
-            slot_mapping=padded(slots, fill=int(PAD_SLOT)),
-            block_tables=jnp.asarray(table_arr),
-            context_lens=padded(ctx),
-        )
-        tensors, hist_len = self._sampling_tensors(rows, B, vocab)
         num_topk = pick_bucket(
             TOPK_BUCKETS,
             max(self._row_topk_need(md.sampling_params, False)
                 for md, _ in row_seq))
-        fn = self._make_step_fn(False, 1, num_topk, hist_len)
-        self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
-                                self._next_key())
-        return self._collect_decode_outputs(metadata_list, row_seq, out)
+        plan = [
+            np.array([1, num_steps, num_topk], np.int32),
+            padded(tokens),
+            padded(positions),
+            padded(slots, fill=int(PAD_SLOT)),
+            table_arr,
+            padded(ctx),
+        ] + self._sampling_arrays(rows, B, vocab)
+        self._broadcast_plan(plan)
+        outs = self._exec_decode(plan)
+        outs = jax.device_get(outs)  # one batched device->host transfer
+        return [
+            self._collect_decode_outputs(
+                metadata_list, row_seq,
+                jax.tree.map(lambda x: x[j], outs))  # noqa: B023
+            for j in range(num_steps)
+        ]
+
+    def _exec_decode(self, plan: List[np.ndarray]):
+        _, num_steps, num_topk = (int(x) for x in plan[0])
+        batch = DecodeBatch(*(jnp.asarray(a) for a in plan[1:6]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
+        hist_len = tensors.output_tokens.shape[1]
+        fn = self._make_step_fn(False, 1, num_topk, hist_len, num_steps)
+        self.kv_cache, outs = fn(self.params, self.kv_cache, batch, tensors,
+                                 self._next_key())
+        return outs
 
     def _collect_decode_outputs(self, metadata_list, row_seq, out):
-        out = jax.device_get(out)  # one batched device->host transfer
         samples = out.samples
         sample_lps = out.sample_logprobs
         topk_ids = out.topk_ids
