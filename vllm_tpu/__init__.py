@@ -10,7 +10,13 @@ from vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
 from vllm_tpu.engine.llm_engine import LLMEngine
 from vllm_tpu.entrypoints.llm import LLM
 from vllm_tpu.outputs import CompletionOutput, RequestOutput
+from vllm_tpu.parallel.distributed import init_distributed
 from vllm_tpu.sampling_params import SamplingParams
+
+# API parity with vLLM's `initialize_cluster`
+# (/root/reference/vllm/__init__.py) — here it brings up the
+# multi-process JAX runtime instead of Ray.
+initialize_cluster = init_distributed
 
 __version__ = "0.1.0"
 
@@ -23,5 +29,7 @@ __all__ = [
     "AsyncLLMEngine",
     "EngineArgs",
     "AsyncEngineArgs",
+    "initialize_cluster",
+    "init_distributed",
     "__version__",
 ]

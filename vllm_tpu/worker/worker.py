@@ -50,6 +50,11 @@ from vllm_tpu.utils import cdiv, make_buckets, pick_bucket
 
 logger = init_logger(__name__)
 
+try:  # native host-side batch packer (csrc/host/plan_packer.cpp)
+    from vllm_tpu import _plan_packer
+except ImportError:  # pure-Python fallback below
+    _plan_packer = None
+
 # KV dtypes the executor supports; int8 quantizes on write with
 # per-token-per-head scales and dequantizes inside the attention
 # kernels (north star beyond the reference).
@@ -568,33 +573,44 @@ class TPUWorker:
         S = cfg.max_prefill_seqs
         vocab = self.model_config.get_vocab_size()
 
-        tokens: List[int] = []
-        positions: List[int] = []
-        seq_ids_flat: List[int] = []
-        slots: List[int] = []
-        logits_idx = np.zeros((S,), np.int32)
+        # Full token sequences, not just prompts: a sequence preempted
+        # by RECOMPUTE re-prefills its generated tokens too (parity:
+        # scheduler.py:369-380 requeues the group; the worker
+        # re-processes everything).
+        pack_seqs: List[Tuple[List[int], List[int]]] = []
         rows: List[Tuple[SamplingParams, List[int]]] = []
-
-        for i, md in enumerate(metadata_list):
+        total = 0
+        for md in metadata_list:
             first_seq_id = next(iter(md.seq_data))
             data = md.seq_data[first_seq_id]
-            table = md.block_tables[first_seq_id]
-            # Full token sequence, not just the prompt: a sequence
-            # preempted by RECOMPUTE re-prefills with its generated
-            # tokens included (parity: scheduler.py:369-380 requeues
-            # the group; worker re-processes everything).
-            all_ids = data.get_token_ids()
-            for pos, token in enumerate(all_ids):
-                tokens.append(token)
-                positions.append(pos)
-                seq_ids_flat.append(i)
-                slots.append(table[pos // self.block_size] * self.block_size +
-                             pos % self.block_size)
-            logits_idx[i] = len(tokens) - 1
+            pack_seqs.append(
+                (data.get_token_ids(), md.block_tables[first_seq_id]))
             rows.append((md.sampling_params, data.output_token_ids))
+            total += data.get_len()
 
-        T = pick_bucket(cfg.prefill_token_buckets, len(tokens))
-        pad = T - len(tokens)
+        T = pick_bucket(cfg.prefill_token_buckets, total)
+        tokens = np.zeros((T,), np.int32)
+        positions = np.zeros((T,), np.int32)
+        seq_ids_flat = np.full((T,), -1, np.int32)
+        slots = np.full((T,), int(PAD_SLOT), np.int32)
+        logits_idx = np.zeros((S,), np.int32)
+        if _plan_packer is not None:
+            _plan_packer.fill_prefill(pack_seqs, tokens, positions,
+                                      seq_ids_flat, slots, logits_idx,
+                                      self.block_size, int(PAD_SLOT))
+        else:
+            cursor = 0
+            for i, (ids, table) in enumerate(pack_seqs):
+                for pos, token in enumerate(ids):
+                    tokens[cursor] = token
+                    positions[cursor] = pos
+                    seq_ids_flat[cursor] = i
+                    slots[cursor] = (
+                        table[pos // self.block_size] * self.block_size +
+                        pos % self.block_size)
+                    cursor += 1
+                logits_idx[i] = cursor - 1
+
         num_samples = pick_bucket(
             SAMPLE_BUCKETS,
             max((md.sampling_params.best_of for md in metadata_list
@@ -605,10 +621,10 @@ class TPUWorker:
                 for md in metadata_list))
         plan = [
             np.array([0, num_samples, num_topk], np.int32),
-            np.array(tokens + [0] * pad, np.int32),
-            np.array(positions + [0] * pad, np.int32),
-            np.array(seq_ids_flat + [-1] * pad, np.int32),
-            np.array(slots + [int(PAD_SLOT)] * pad, np.int32),
+            tokens,
+            positions,
+            seq_ids_flat,
+            slots,
             logits_idx,
         ] + self._sampling_arrays(rows, S, vocab)
         self._broadcast_plan(plan)
@@ -675,21 +691,13 @@ class TPUWorker:
         vocab = self.model_config.get_vocab_size()
 
         row_seq: List[Tuple[SequenceGroupMetadata, int]] = []
-        tokens, positions, slots, ctx = [], [], [], []
-        tables: List[List[int]] = []
+        pack_rows: List[Tuple[int, int, List[int]]] = []
         rows: List[Tuple[SamplingParams, List[int]]] = []
         for md in metadata_list:
             for sid, data in md.seq_data.items():
-                table = md.block_tables[sid]
-                L = data.get_len()
-                pos = L - 1
                 row_seq.append((md, sid))
-                tokens.append(data.get_last_token_id())
-                positions.append(pos)
-                slots.append(table[pos // self.block_size] * self.block_size +
-                             pos % self.block_size)
-                ctx.append(L)
-                tables.append(table)
+                pack_rows.append((data.get_last_token_id(), data.get_len(),
+                                  md.block_tables[sid]))
                 rows.append((md.sampling_params, data.output_token_ids))
 
         n = len(row_seq)
@@ -699,14 +707,24 @@ class TPUWorker:
         # decode program count collapses from |B|x|MB| to |B| (each
         # compile is tens of seconds on a 32-layer model).
         MB = self._block_buckets[-1]
+        tokens = np.zeros((B,), np.int32)
+        positions = np.zeros((B,), np.int32)
+        slots = np.full((B,), int(PAD_SLOT), np.int32)
         table_arr = np.zeros((B, MB), np.int32)
-        for i, t in enumerate(tables):
-            table_arr[i, :len(t)] = t
-
-        def padded(vals, fill=0):
-            arr = np.full((B,), fill, np.int32)
-            arr[:n] = vals
-            return arr
+        ctx = np.zeros((B,), np.int32)
+        if _plan_packer is not None:
+            _plan_packer.fill_decode(pack_rows, tokens, positions, slots,
+                                     table_arr, ctx, self.block_size,
+                                     int(PAD_SLOT))
+        else:
+            for i, (token, L, table) in enumerate(pack_rows):
+                pos = L - 1
+                tokens[i] = token
+                positions[i] = pos
+                slots[i] = (table[pos // self.block_size] * self.block_size +
+                            pos % self.block_size)
+                table_arr[i, :len(table)] = table
+                ctx[i] = L
 
         num_topk = pick_bucket(
             TOPK_BUCKETS,
@@ -714,11 +732,11 @@ class TPUWorker:
                 for md, _ in row_seq))
         plan = [
             np.array([1, num_steps, num_topk], np.int32),
-            padded(tokens),
-            padded(positions),
-            padded(slots, fill=int(PAD_SLOT)),
+            tokens,
+            positions,
+            slots,
             table_arr,
-            padded(ctx),
+            ctx,
         ] + self._sampling_arrays(rows, B, vocab)
         self._broadcast_plan(plan)
         outs = self._exec_decode(plan)
