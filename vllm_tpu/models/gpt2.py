@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+from vllm_tpu.models.common import (attend, dense,
                                     maybe_quantize_shardings)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
@@ -103,13 +103,12 @@ class GPT2Model:
                 "c_fc": lin(H, I),
                 "mlp_c_proj": lin(I, H),
             })
-        return maybe_quantize(
-            self, {
-                "wte": u(self.vocab, H),
-                "wpe": u(self.max_pos, H),
-                "layers": layers,
-                "ln_f": ln(),
-            })
+        return {
+            "wte": u(self.vocab, H),
+            "wpe": u(self.max_pos, H),
+            "layers": layers,
+            "ln_f": ln(),
+        }
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -169,7 +168,7 @@ class GPT2Model:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return maybe_quantize(self, params)
+        return params
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))

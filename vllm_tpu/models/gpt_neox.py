@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+from vllm_tpu.models.common import (attend, dense,
                                     maybe_quantize_shardings)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, get_act_fn, layer_norm
 
@@ -121,13 +121,12 @@ class GPTNeoXModel:
                 "dense_h_to_4h": lin(H, I),
                 "dense_4h_to_h": lin(I, H),
             })
-        return maybe_quantize(
-            self, {
-                "embed_in": u(self.vocab, H),
-                "layers": layers,
-                "final_layer_norm": ln(),
-                "embed_out": u(H, self.vocab),
-            })
+        return {
+            "embed_in": u(self.vocab, H),
+            "layers": layers,
+            "final_layer_norm": ln(),
+            "embed_out": u(H, self.vocab),
+        }
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -192,7 +191,7 @@ class GPTNeoXModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return maybe_quantize(self, params)
+        return params
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+from vllm_tpu.models.common import (attend, dense,
                                     maybe_quantize_shardings)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, rms_norm
 
@@ -102,13 +102,12 @@ class LlamaModel:
                 "up_proj": u(H, I),
                 "down_proj": u(I, H),
             })
-        return maybe_quantize(
-            self, {
-                "embed_tokens": u(self.vocab, H),
-                "layers": layers,
-                "norm": jnp.ones((H,), jnp.float32),
-                "lm_head": u(H, self.vocab),
-            })
+        return {
+            "embed_tokens": u(self.vocab, H),
+            "layers": layers,
+            "norm": jnp.ones((H,), jnp.float32),
+            "lm_head": u(H, self.vocab),
+        }
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         """Map HF LLaMA checkpoint names into the param tree."""
@@ -145,7 +144,7 @@ class LlamaModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return maybe_quantize(self, params)
+        return params
 
     def param_shardings(self) -> Dict[str, Any]:
         """TP PartitionSpecs: heads/intermediate shard over 'model'."""

@@ -43,10 +43,18 @@ def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
         quantization=getattr(model_config, "quantization", None))
     if model_config.use_dummy_weights:
         logger.info("Initializing %s with dummy weights.", arch)
-        params = model.init_dummy_params(model_config.seed)
+        # One jitted program instead of ~200 eager random dispatches
+        # (each eager op is a round trip on a tunneled runtime).
+        import jax
+        params = jax.jit(
+            lambda: model.init_dummy_params(model_config.seed))()
     else:
         logger.info("Loading %s weights from %s.", arch, model_config.model)
         params = model.load_weights(
             hf_weights_iterator(model_config.model,
                                 model_config.download_dir))
+    # Weight-only quantization runs leaf-at-a-time after either load
+    # path (peak memory: float tree + one int8 leaf).
+    from vllm_tpu.models.common import maybe_quantize
+    params = maybe_quantize(model, params)
     return model, params

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from vllm_tpu.models.common import (attend, dense, maybe_quantize,
+from vllm_tpu.models.common import (attend, dense,
                                     maybe_quantize_shardings)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
@@ -130,7 +130,7 @@ class OPTModel:
         if self.embed_dim != H:
             params["project_in"] = u(self.embed_dim, H)
             params["project_out"] = u(H, self.embed_dim)
-        return maybe_quantize(self, params)
+        return params
 
     def load_weights(self, weights_iter) -> Dict[str, Any]:
         params: Dict[str, Any] = {"layers": [{} for _ in range(self.layers)]}
@@ -182,7 +182,7 @@ class OPTModel:
                     stash(lp, f"{i}/{leaf}", kind, wj)
             else:
                 raise ValueError(f"unexpected weight {name}")
-        return maybe_quantize(self, params)
+        return params
 
     def param_shardings(self) -> Dict[str, Any]:
         col = (P(None, "model"), P("model"))

@@ -8,24 +8,25 @@ blocks with shared-memory logits (attention_kernels.cu:66-91).
 
 TPU design notes (what made this fast):
 - Cache layout [L, 2, NB, KVH, BS, D]: a page is contiguous across ALL
-  kv heads, so one DMA moves kv_heads*block_size*head_dim bytes
-  (128 KiB for 7B-class models) instead of a latency-bound 4 KiB per
-  (page, head).
-- DMA destinations are fully contiguous page buffers [KVH, BS, D] —
-  a strided destination (interleaving pages into a [KVH, C, D] chunk)
-  costs one descriptor per kv-head stripe and was measured 20x slower.
-- Pages stream HBM->VMEM in chunks of 8 through a double-buffered
-  async pipeline; the online (flash) softmax runs in fp32 on the VPU
-  in the buffer's native [P, KVH, BS, D] layout (for MHA a batched
-  matmul would be KVH MXU issues of M=1 — pure launch overhead).
+  kv heads, so one DMA moves kv_heads*block_size*head_dim bytes per
+  page instead of a latency-bound per-(page, head) transfer.
+- Pages stream HBM->VMEM in chunks through a double-buffered pipeline
+  that prefetches ACROSS grid steps: while sequence b's last chunk
+  computes, sequence b+1's first chunk is already in flight (buffer
+  parity and a first-touch flag live in SMEM, the jax
+  paged_attention_kernel pattern) — no pipeline drain at sequence
+  boundaries.
+- Scores run on the MXU as one kv-head-batched dot per chunk
+  ([KVH, G, D] x [KVH, CHUNK, D] -> [KVH, G, CHUNK]); an earlier
+  VPU-broadcast formulation (elementwise q*k + lane reduction) was
+  ~50 us per (sequence, layer) of pure vector work and capped decode
+  at ~47 GB/s of KV bandwidth.
+- INT8 KV: per-token-per-head dequant scales fold into the score
+  matrix (q.k_int8 * k_scale) and the softmax weights (p * v_scale) —
+  per-token scalar multiplies instead of rescaling payloads. int8
+  values convert losslessly to bf16 for the MXU (8-bit mantissa).
 - Block tables / context lengths ride in via scalar prefetch so DMA
   addresses are known ahead of compute.
-- INT8 KV (north star): the per-token-per-head dequant scales fold
-  into the score matrix (q·k_int8 * k_scale) and the softmax weights
-  (p * v_scale before the PV sum) — per-token scalar multiplies
-  instead of rescaling the [BS, D] payloads, so dequant adds ~1/128th
-  of the payload FLOPs and halves the HBM traffic that dominates
-  decode.
 """
 
 import functools
@@ -39,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_tpu.ops.cache import KVCache, SCALE_LANES
 
 _NEG_INF = -1e30
-_N_BUF = 2  # in-flight chunk buffers per K/V stream
-_PAGES_PER_CHUNK = 8  # pages fetched + processed per loop iteration
+_PAGES_PER_CHUNK = 8  # pages fetched + processed per pipeline stage
 
 
 def _interpret() -> bool:
@@ -51,14 +51,16 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # [B, MB] i32 (SMEM)
     context_lens_ref,  # [B] i32 (SMEM)
+    buffer_index_ref,  # [1] i32 (SMEM, mutable pipeline state)
+    init_flag_ref,  # [1] i32 (SMEM)
     # inputs
     q_ref,  # [1, KVH, G, D] VMEM block for this sequence
     kv_hbm,  # [L, 2, NB, KVH, BS, D] full cache in HBM/ANY
-    *rest,  # quantized: (scales_hbm, o_ref, k_buf, v_buf, sems[, s_buf, s_sems])
+    *rest,  # (scales_hbm,) o_ref, k_buf, v_buf, sems (, sk_buf, sv_buf, s_sems)
     layer: int,
     scale: float,
     block_size: int,
-    pages_per_chunk: int,
+    pages: int,
     quantized: bool,
 ):
     if quantized:
@@ -69,102 +71,130 @@ def _decode_kernel(
         scales_hbm = sk_buf = sv_buf = s_sems = None
 
     b = pl.program_id(0)
+    B = pl.num_programs(0)
     mb = block_tables_ref.shape[1]
+    chunk_tokens = pages * block_size
     ctx = context_lens_ref[b]
-    num_pages = pl.cdiv(ctx, block_size)
-    chunk_tokens = pages_per_chunk * block_size
-    num_chunks = pl.cdiv(num_pages, pages_per_chunk)
+    num_chunks = pl.cdiv(ctx, chunk_tokens)
 
-    def page_of(chunk_idx, j):
-        # Tail-chunk lanes clamp to a valid page; garbage tokens are
-        # masked in compute.
-        page_idx = jnp.minimum(chunk_idx * pages_per_chunk + j, mb - 1)
-        return block_tables_ref[b, page_idx]
+    def chunks_of(bb):
+        return pl.cdiv(context_lens_ref[bb], chunk_tokens)
 
-    def dma(slot, chunk_idx, j, kv):
-        page = page_of(chunk_idx, j)
+    def copies(bb, i, slot, kv):
+        """Per-page async copies of chunk i of sequence bb (shared
+        semaphore; tail pages clamp to a valid table entry and are
+        masked in compute)."""
+        out = []
         buf = k_buf if kv == 0 else v_buf
-        return pltpu.make_async_copy(kv_hbm.at[layer, kv, page],
-                                     buf.at[slot, j], sems.at[slot, j, kv])
-
-    def scale_dma(slot, chunk_idx, j, kv):
-        page = page_of(chunk_idx, j)
-        buf = sk_buf if kv == 0 else sv_buf
-        return pltpu.make_async_copy(scales_hbm.at[layer, kv, page],
-                                     buf.at[slot, j],
-                                     s_sems.at[slot, j, kv])
-
-    def start_chunk(slot, chunk_idx):
-        for j in range(pages_per_chunk):
-            dma(slot, chunk_idx, j, 0).start()
-            dma(slot, chunk_idx, j, 1).start()
+        for j in range(pages):
+            page = block_tables_ref[bb,
+                                    jnp.minimum(i * pages + j, mb - 1)]
+            out.append(
+                pltpu.make_async_copy(kv_hbm.at[layer, kv, page],
+                                      buf.at[slot, j], sems.at[slot, kv]))
             if quantized:
-                scale_dma(slot, chunk_idx, j, 0).start()
-                scale_dma(slot, chunk_idx, j, 1).start()
+                sbuf = sk_buf if kv == 0 else sv_buf
+                out.append(
+                    pltpu.make_async_copy(scales_hbm.at[layer, kv, page],
+                                          sbuf.at[slot, j],
+                                          s_sems.at[slot, kv]))
+        return out
 
-    def wait_chunk(slot, chunk_idx):
-        for j in range(pages_per_chunk):
-            dma(slot, chunk_idx, j, 0).wait()
-            dma(slot, chunk_idx, j, 1).wait()
+    def start_chunk(bb, i, slot):
+        for kv in (0, 1):
+            for c in copies(bb, i, slot, kv):
+                c.start()
+
+    def wait_chunk(bb, i, slot):
+        for kv in (0, 1):
+            for c in copies(bb, i, slot, kv):
+                c.wait()
+
+    def next_index(i):
+        """Index of the chunk after (b, i): (b, i+1), or the first
+        chunk of the next sequence with work."""
+
+        def advance_b():
+            next_b = jax.lax.while_loop(
+                lambda bb: jnp.logical_and(bb < B, chunks_of(
+                    jax.lax.clamp(0, bb, B - 1)) == 0), lambda bb: bb + 1,
+                b + 1)
+            return next_b, jnp.int32(0)
+
+        return jax.lax.cond(i + 1 < num_chunks, lambda: (b, i + 1),
+                            advance_b)
+
+    @pl.when(num_chunks > 0)
+    def _run():
+        @pl.when(init_flag_ref[0] == 1)
+        def _first_touch():
+            init_flag_ref[0] = 0
+            start_chunk(b, 0, buffer_index_ref[0])
+
+        kvh, g, d = q_ref.shape[1:]
+        q = q_ref[0].astype(jnp.float32) * scale  # [KVH, G, D]
+        # MXU inputs: bf16 on the serving path (q is bf16; int8 KV
+        # converts to bf16 exactly — 8 mantissa bits); full f32 when
+        # the caller computes in f32 (tests, f32 caches).
+        mxu_dtype = (jnp.float32 if (q_ref.dtype == jnp.float32
+                                     or kv_hbm.dtype == jnp.float32) else
+                     jnp.bfloat16)
+        qm = q.astype(mxu_dtype)
+
+        def body(i, carry):
+            m, l, acc = carry  # [KVH, G], [KVH, G], [KVH, G, D]
+            slot = buffer_index_ref[0]
+            nb, ni = next_index(i)
+
+            @pl.when(nb < B)
+            def _prefetch():
+                start_chunk(nb, ni, 1 - slot)
+
+            buffer_index_ref[0] = 1 - slot
+            wait_chunk(b, i, slot)
+
+            # Dequantize in the page buffer's own layout (scale
+            # broadcasts along lanes — a [KVH, P*BS] lane-merged scale
+            # row would be an unsupported sublane->lane relayout).
+            kb = k_buf[slot]
+            vb = v_buf[slot]
             if quantized:
-                scale_dma(slot, chunk_idx, j, 0).wait()
-                scale_dma(slot, chunk_idx, j, 1).wait()
+                sk = sk_buf[slot, :, :, :block_size]  # load [P, KVH, BS]
+                sv = sv_buf[slot, :, :, :block_size]
+                kb = kb.astype(jnp.float32) * sk[..., None]
+                vb = vb.astype(jnp.float32) * sv[..., None]
+            # [P, KVH, BS, D] -> [KVH, CHUNK, D]
+            k = kb.astype(mxu_dtype).swapaxes(0, 1).reshape(
+                kvh, chunk_tokens, d)
+            v = vb.astype(mxu_dtype).swapaxes(0, 1).reshape(
+                kvh, chunk_tokens, d)
+            s = jax.lax.dot_general(
+                qm, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
+            pos = i * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 2)
+            s = jnp.where(pos < ctx, s, _NEG_INF)
 
-    # Warm the pipeline.
-    for s0 in range(_N_BUF):
-        @pl.when(s0 < num_chunks)
-        def _():
-            start_chunk(s0, s0)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # [KVH, G]
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1)
+            pv = jax.lax.dot_general(
+                p.astype(mxu_dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [KVH, G, D]
+            acc_new = acc * corr[..., None] + pv
+            return m_new, l_new, acc_new
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [KVH, G, D]
-    kvh, g, d = q.shape
+        m0 = jnp.full((kvh, g), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((kvh, g), jnp.float32)
+        acc0 = jnp.zeros((kvh, g, d), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-9)[..., None]).astype(o_ref.dtype)
 
-    def body(i, carry):
-        m, l, acc = carry  # [KVH, G], [KVH, G], [KVH, G, D]
-        slot = jax.lax.rem(i, _N_BUF)
-        wait_chunk(slot, i)
-        k = k_buf[slot].astype(jnp.float32)  # [P, KVH, BS, D]
-        v = v_buf[slot].astype(jnp.float32)
-
-        # Scores in the buffer's native layout: [P, KVH, G, BS].
-        # Elementwise-broadcast + lane reduction on the VPU — a batched
-        # matmul would be KVH tiny MXU issues for G==1.
-        s = jnp.sum(q[None, :, :, None, :] * k[:, :, None, :, :],
-                    axis=-1)  # [P, KVH, G, BS]
-        if quantized:
-            # Dequant K as a per-(page, head, token) scalar on scores.
-            sk = sk_buf[slot, :, :, :block_size]  # load [P, KVH, BS]
-            s = s * sk[:, :, None, :]
-        pos = (i * chunk_tokens +
-               jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) * block_size +
-               jax.lax.broadcasted_iota(jnp.int32, s.shape, 3))
-        s = jnp.where(pos < ctx, s, _NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=(0, 3)))  # [KVH, G]
-        p = jnp.exp(s - m_new[None, :, :, None])
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=(0, 3))
-        if quantized:
-            # Dequant V by folding its scale into the softmax weights.
-            sv = sv_buf[slot, :, :, :block_size]  # load [P, KVH, BS]
-            p = p * sv[:, :, None, :]
-        pv = jnp.sum(p[..., None] * v[:, :, None, :, :],
-                     axis=(0, 3))  # [KVH, G, D]
-        acc_new = acc * corr[..., None] + pv
-
-        @pl.when(i + _N_BUF < num_chunks)
-        def _():
-            start_chunk(slot, i + _N_BUF)
-
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((kvh, g), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((kvh, g), jnp.float32)
-    acc0 = jnp.zeros((kvh, g, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
-
-    # Pad rows (ctx == 0) never loop; keep them finite.
-    o_ref[0] = (acc / jnp.maximum(l, 1e-9)[..., None]).astype(o_ref.dtype)
+    # Pad rows (ctx == 0) never run; keep their output finite.
+    @pl.when(num_chunks == 0)
+    def _pad_row():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("layer", "scale"))
@@ -190,22 +220,22 @@ def pallas_paged_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch_shapes = [
-        pltpu.VMEM((_N_BUF, pages, KVH, BS, D), data.dtype),
-        pltpu.VMEM((_N_BUF, pages, KVH, BS, D), data.dtype),
-        pltpu.SemaphoreType.DMA((_N_BUF, pages, 2)),
+        pltpu.VMEM((2, pages, KVH, BS, D), data.dtype),
+        pltpu.VMEM((2, pages, KVH, BS, D), data.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
     ]
     operands = [q_grouped, data]
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
-            pltpu.VMEM((_N_BUF, pages, KVH, SCALE_LANES), jnp.float32),
-            pltpu.VMEM((_N_BUF, pages, KVH, SCALE_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_BUF, pages, 2)),
+            pltpu.VMEM((2, pages, KVH, SCALE_LANES), jnp.float32),
+            pltpu.VMEM((2, pages, KVH, SCALE_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ]
         operands.append(scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
@@ -214,13 +244,15 @@ def pallas_paged_decode_attention(
 
     kernel = pl.pallas_call(
         functools.partial(_decode_kernel, layer=layer, scale=scale,
-                          block_size=BS, pages_per_chunk=pages,
-                          quantized=quantized),
+                          block_size=BS, pages=pages, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
         interpret=_interpret(),
     )
 
     out = kernel(block_tables.astype(jnp.int32),
-                 context_lens.astype(jnp.int32), *operands)
+                 context_lens.astype(jnp.int32),
+                 jnp.zeros((1,), jnp.int32),  # buffer_index
+                 jnp.ones((1,), jnp.int32),  # init_flag
+                 *operands)
     return out.reshape(B, H, D)

@@ -15,6 +15,7 @@ by hand in CUDA for its KV path).
 
 from typing import Any, List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -27,6 +28,11 @@ class QuantizedLinear(NamedTuple):
     scale: jnp.ndarray  # [out] f32
 
 
+# Jitted (cached per weight shape): quantizing a 7B model is ~200
+# leaves, and eager per-op dispatch through a tunneled runtime costs
+# seconds per leaf. Leaf-at-a-time keeps peak memory at
+# float-tree + one int8 leaf (a whole-tree jit could hold both trees).
+@jax.jit
 def quantize_linear_weight(w: jnp.ndarray) -> QuantizedLinear:
     """Symmetric per-output-channel int8 quantization of [in, out]."""
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
