@@ -20,10 +20,10 @@ def make_cache(seed=0, quantized=False) -> KVCache:
                                dtype=np.float32)
     if not quantized:
         return KVCache(jnp.asarray(data), None)
-    scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, 2, NB, KVH, BS]
+    scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, 2, NB, BS, KVH]
     q = np.clip(np.round(data / scales[..., None]), -127, 127)
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., :BS] = scales
+    scales_page[..., :KVH] = scales
     return KVCache(jnp.asarray(q, jnp.int8), jnp.asarray(scales_page))
 
 
@@ -44,8 +44,8 @@ def test_write_kv_scatters_and_drops_padding():
         if slot == int(PAD_SLOT):
             continue
         b, off = slot // BS, slot % BS
-        ref[1, 0, b, :, off, :] = k[t]
-        ref[1, 1, b, :, off, :] = v[t]
+        ref[1, 0, b, off] = k[t]
+        ref[1, 1, b, off] = v[t]
     np.testing.assert_array_equal(out_data, ref)
     # Layer 0 untouched.
     np.testing.assert_array_equal(out_data[0], np.asarray(cache.data)[0])
@@ -68,9 +68,9 @@ def test_write_kv_int8_quantizes_on_write():
             continue
         b, off = slot // BS, slot % BS
         # Per-vector symmetric int8: relative error <= 1/127 of amax.
-        np.testing.assert_allclose(deq[0, 0, b, :, off, :], k[t],
+        np.testing.assert_allclose(deq[0, 0, b, off], k[t],
                                    atol=np.abs(k[t]).max() / 127 + 1e-6)
-        np.testing.assert_allclose(deq[0, 1, b, :, off, :], v[t],
+        np.testing.assert_allclose(deq[0, 1, b, off], v[t],
                                    atol=np.abs(v[t]).max() / 127 + 1e-6)
 
 
@@ -95,7 +95,7 @@ def test_swap_roundtrip(quantized):
     cache = make_cache(3, quantized)
     ids = np.array([2, 5], dtype=np.int32)
     staged = gather_blocks(cache, jnp.asarray(ids))
-    assert staged.data.shape == (L, 2, 2, KVH, BS, D)
+    assert staged.data.shape == (L, 2, 2, BS, KVH, D)
     if quantized:
         assert staged.scales.shape == kv_scales_shape(L, KVH, 2, BS)
     wiped_data = np.asarray(cache.data).copy()
@@ -112,3 +112,27 @@ def test_swap_roundtrip(quantized):
     if quantized:
         np.testing.assert_array_equal(np.asarray(restored.scales),
                                       np.asarray(cache.scales))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_pallas_write_kv_tokens_matches_xla(quantized):
+    """The Pallas reshape_and_cache kernel (interpret mode) must match
+    the XLA dynamic-update-slice path exactly."""
+    from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+    cache = make_cache(7, quantized)
+    rng = np.random.default_rng(9)
+    T = 6
+    k = rng.standard_normal((T, KVH, D), dtype=np.float32)
+    v = rng.standard_normal((T, KVH, D), dtype=np.float32)
+    slots = np.array([0, 5, 17, 30, int(PAD_SLOT), 9], dtype=np.int32)
+
+    ref = write_kv(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    got = pallas_write_kv_tokens(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(slots))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+    if quantized:
+        # Scales may differ in the last ULP (different fusion contexts
+        # around quantize_kv).
+        np.testing.assert_allclose(np.asarray(got.scales),
+                                   np.asarray(ref.scales), rtol=1e-6)

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from vllm_tpu.ops import paged_decode_attention, prefill_attention, write_kv
+from vllm_tpu.ops.cache import write_kv_pages
 from vllm_tpu.ops.quant import QuantizedLinear, quantized_matmul
 
 
@@ -33,6 +34,11 @@ class PrefillBatch(NamedTuple):
     seq_ids: jnp.ndarray  # [T] i32 segment ids, -1 = padding
     slot_mapping: jnp.ndarray  # [T] i32 flat KV slots, PAD_SLOT = padding
     logits_indices: jnp.ndarray  # [S] i32 last-token index per sequence
+    # Page-granularity KV-write plan (engine fast path): page i copies
+    # token_ids[page_src[i]:+BS] into block page_dst[i] (-1 = padding).
+    # None -> token-granularity writes via slot_mapping.
+    page_src: Optional[jnp.ndarray] = None  # [NP] i32
+    page_dst: Optional[jnp.ndarray] = None  # [NP] i32
 
 
 class DecodeBatch(NamedTuple):
@@ -71,7 +77,11 @@ def attend(
     paged cache, which now includes the token written this step.
     Returns ([T, H, D], new kv_cache).
     """
-    kv_cache = write_kv(kv_cache, layer_idx, k, v, batch.slot_mapping)
+    if isinstance(batch, PrefillBatch) and batch.page_src is not None:
+        kv_cache = write_kv_pages(kv_cache, layer_idx, k, v, batch.page_src,
+                                  batch.page_dst)
+    else:
+        kv_cache = write_kv(kv_cache, layer_idx, k, v, batch.slot_mapping)
     if isinstance(batch, PrefillBatch):
         out = prefill_attention(q, k, v, batch.seq_ids, scale)
     else:

@@ -75,7 +75,7 @@ def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                 context_lens, scale):
     B, H, D = q.shape
     data, scales = kv_cache
-    _, _, NB, KVH, BS, _ = data.shape
+    _, _, NB, BS, KVH, _ = data.shape
     G = H // KVH
     MB = block_tables.shape[1]
     S = MB * BS
@@ -83,12 +83,12 @@ def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
     tables = jnp.clip(block_tables, 0, NB - 1)
 
     def fetch(kv: int) -> jnp.ndarray:
-        # [B, MB, KVH, BS, D] f32 (dequantized) -> [B, KVH, S, D]
+        # [B, MB, BS, KVH, D] f32 (dequantized) -> [B, KVH, S, D]
         pages = data[layer, kv][tables].astype(jnp.float32)
         if scales is not None:
             pages = pages * scales[layer, kv][tables].astype(
-                jnp.float32)[..., :BS, None]
-        return pages.transpose(0, 2, 1, 3, 4).reshape(B, KVH, S, D)
+                jnp.float32)[..., :KVH, None]
+        return pages.transpose(0, 3, 1, 2, 4).reshape(B, KVH, S, D)
 
     k = fetch(0)
     v = fetch(1)

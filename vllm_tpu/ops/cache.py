@@ -6,15 +6,18 @@ slot_mapping, :142-224), copy_blocks (batched copy-on-write, :52-137),
 and swap_blocks (device<->host, :9-47). Re-designed for TPU/XLA:
 
 - The whole KV cache is ONE logical object per engine, a ``KVCache``
-  of payload ``[num_layers, 2, num_blocks, num_kv_heads, block_size,
+  of payload ``[num_layers, 2, num_blocks, block_size, num_kv_heads,
   head_dim]`` plus (when quantized) per-vector scales
-  ``[num_layers, 2, num_blocks, num_kv_heads, block_size]``.
+  ``[num_layers, 2, num_blocks, block_size, SCALE_LANES]``.
   Donated buffers -> every update below compiles to an in-place
-  scatter; a page is contiguous across ALL kv heads (kv_heads x
-  block_size x head_dim, e.g. 128 KiB for a 7B model), so the decode
-  kernel moves one big DMA per page instead of a latency-bound 4 KiB
-  DMA per (page, head). The kv-head axis shards over the ``model``
-  mesh axis.
+  scatter. Two layout rules, both measured:
+  * a page is contiguous across ALL kv heads (one big DMA per page
+    for the decode kernel, not a latency-bound per-head transfer);
+  * a TOKEN's row ``[kv_heads, head_dim]`` is contiguous (block_size
+    outside kv_heads), so write_kv scatters T clean rows — the
+    head-outside layout needed a [T*KVH]-row strided scatter that
+    cost 364 ms per 1024-token prefill on a 7B cache.
+  The kv-head axis shards over the ``model`` mesh axis.
 - INT8 KV quantization (north star beyond the reference): symmetric
   per-token-per-head scales computed on write (max|x|/127), dequant
   fused into the attention kernels' fp32 compute. The write path
@@ -26,9 +29,17 @@ and swap_blocks (device<->host, :9-47). Re-designed for TPU/XLA:
   pinned-memory stream; jax async dispatch overlaps the DMA).
 """
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 # Out-of-bounds sentinel for padded index slots; with mode="drop" the
 # scatter discards these lanes.
@@ -37,19 +48,20 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 # Symmetric int8 range.
 _INT8_MAX = 127.0
 
-# The scales' token axis pads to a full 128-lane tile: Mosaic requires
-# HBM DMA slices to be lane-aligned, so a [KVH, block_size] scale page
-# with block_size 16 is not fetchable, while [KVH, 128] is — and the
-# padded layout needs no in-kernel relayout to broadcast over scores.
+# The scales' kv-head axis pads to a full 128-lane tile: Mosaic
+# requires HBM DMA slices to be lane-aligned, so a [BS, kv_heads]
+# scale page with 32 heads is not fetchable, while [BS, 128] is — and
+# the padded layout broadcasts straight onto the page payload with no
+# in-kernel relayout.
 SCALE_LANES = 128
 
 
 class KVCache(NamedTuple):
     """The engine's paged KV state (a single donated pytree).
 
-    data: [L, 2, NB, KVH, BS, D] payload (bf16/f32, or int8 quantized)
-    scales: [L, 2, NB, KVH, SCALE_LANES] f32 per-vector dequant scales
-        (token offset in the lane axis, first BS lanes used), or None
+    data: [L, 2, NB, BS, KVH, D] payload (bf16/f32, or int8 quantized)
+    scales: [L, 2, NB, BS, SCALE_LANES] f32 per-vector dequant scales
+        (kv head in the lane axis, first KVH lanes used), or None
     """
     data: jnp.ndarray
     scales: Optional[jnp.ndarray]
@@ -83,33 +95,119 @@ def write_kv(
     k, v: [T, KVH, D]; slot_mapping: [T] flat slot ids
     (block * block_size + offset), PAD_SLOT for padding tokens.
     """
+    if _use_pallas():
+        from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+        return pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping)
     data, scales = kv_cache
-    kvh = data.shape[3]
-    block_size = data.shape[4]
-    block_ids = slot_mapping // block_size
-    offsets = slot_mapping % block_size
+    kvh = data.shape[4]
+    num_blocks = data.shape[2]
+    block_size = data.shape[3]
+    block_ids = jnp.clip(slot_mapping // block_size, 0, num_blocks - 1)
+    offsets = jnp.clip(slot_mapping % block_size, 0, block_size - 1)
+    pad = slot_mapping == PAD_SLOT
 
-    # Per-(token, head) row scatter: [T, KVH] index arrays over the
-    # adjacent (block, head, offset) dims leave only the minor-most D
-    # axis as the scatter window. A strided window (indexing offsets
-    # with the head dim in between) makes XLA's layout assignment
-    # prefer a KVH<->BS-swapped operand layout, inserting TWO
-    # full-cache layout copies around EVERY layer's scatter — measured
-    # 120 ms/step on a 7B cache vs ~0 for this form.
-    b2 = jnp.broadcast_to(block_ids[:, None], block_ids.shape + (kvh,))
-    o2 = jnp.broadcast_to(offsets[:, None], offsets.shape + (kvh,))
-    h2 = jnp.broadcast_to(jnp.arange(kvh, dtype=slot_mapping.dtype)[None],
-                          block_ids.shape + (kvh,))
-
+    # dynamic-update-slice per token (XLA's scatter runs ~6 us PER ROW
+    # on TPU regardless of window size — a 1024-token prefill's writes
+    # cost 400 ms as scatters). PAD rows write back what was already
+    # there (a read-modify keeps the drop semantics without a
+    # sacrificial block).
     if scales is not None:
         k, k_scale = quantize_kv(k)
         v, v_scale = quantize_kv(v)
-        scales = scales.at[layer, 0, b2, h2, o2].set(k_scale, mode="drop")
-        scales = scales.at[layer, 1, b2, h2, o2].set(v_scale, mode="drop")
-    data = data.at[layer, 0, b2, h2, o2, :].set(k.astype(data.dtype),
-                                                mode="drop")
-    data = data.at[layer, 1, b2, h2, o2, :].set(v.astype(data.dtype),
-                                                mode="drop")
+        lanes = scales.shape[-1]
+        k_scale = _pad_lanes(k_scale, lanes)
+        v_scale = _pad_lanes(v_scale, lanes)
+    k = k.astype(data.dtype)
+    v = v.astype(data.dtype)
+
+    def body(i, carry):
+        data, scales = carry
+        idx = (layer, 0, block_ids[i], offsets[i], 0, 0)
+        idx_v = (layer, 1, block_ids[i], offsets[i], 0, 0)
+        for kv_i, (idx_i, new) in enumerate(((idx, k), (idx_v, v))):
+            cur = jax.lax.dynamic_slice(data, idx_i,
+                                        (1, 1, 1, 1, kvh, data.shape[5]))
+            upd = jnp.where(pad[i], cur, new[i][None, None, None, None])
+            data = jax.lax.dynamic_update_slice(data, upd, idx_i)
+        if scales is not None:
+            for kv_i, new in ((0, k_scale), (1, v_scale)):
+                sidx = (layer, kv_i, block_ids[i], offsets[i], 0)
+                cur = jax.lax.dynamic_slice(scales, sidx,
+                                            (1, 1, 1, 1, scales.shape[-1]))
+                upd = jnp.where(pad[i], cur, new[i][None, None, None, None])
+                scales = jax.lax.dynamic_update_slice(scales, upd, sidx)
+        return data, scales
+
+    data, scales = jax.lax.fori_loop(0, k.shape[0], body, (data, scales))
+    return KVCache(data, scales)
+
+
+def _pad_lanes(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """Pad the trailing axis of [T, KVH] scales to the lane width."""
+    return jnp.pad(x, ((0, 0), (0, lanes - x.shape[-1])))
+
+
+def write_kv_pages(
+    kv_cache: KVCache,
+    layer: int,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    page_src: jnp.ndarray,
+    page_dst: jnp.ndarray,
+) -> KVCache:
+    """Page-granularity prefill writes: packed prompts fill their pages
+    contiguously from offset 0, so page i copies
+    ``k[page_src[i] : page_src[i]+BS]`` into block ``page_dst[i]`` as
+    ONE dynamic-update-slice (a token-wise scatter costs ~6 us/row on
+    TPU). A partial tail page writes whatever follows it in the packed
+    batch into its own (exclusively owned) block — those slots are
+    masked by context_len and overwritten by later decode steps.
+    Entries with ``page_dst < 0`` are padding (write-back no-op).
+
+    k, v: [T, KVH, D]; page_src/page_dst: [NP] i32.
+    """
+    data, scales = kv_cache
+    num_blocks = data.shape[2]
+    block_size = data.shape[3]
+    num_tokens = k.shape[0]
+    if scales is not None:
+        k, k_scale = quantize_kv(k)
+        v, v_scale = quantize_kv(v)
+        lanes = scales.shape[-1]
+        k_scale = _pad_lanes(k_scale, lanes)
+        v_scale = _pad_lanes(v_scale, lanes)
+    # One page of zero slack so a tail page at the very end of the
+    # packed batch still reads at its own offset alignment.
+    k = jnp.pad(k.astype(data.dtype), ((0, block_size), (0, 0), (0, 0)))
+    v = jnp.pad(v.astype(data.dtype), ((0, block_size), (0, 0), (0, 0)))
+    if scales is not None:
+        k_scale = jnp.pad(k_scale, ((0, block_size), (0, 0)))
+        v_scale = jnp.pad(v_scale, ((0, block_size), (0, 0)))
+
+    def body(i, carry):
+        data, scales = carry
+        invalid = page_dst[i] < 0
+        blk = jnp.clip(page_dst[i], 0, num_blocks - 1)
+        src = jnp.clip(page_src[i], 0, num_tokens)
+        for kv_i, new in ((0, k), (1, v)):
+            page = jax.lax.dynamic_slice_in_dim(new, src, block_size, 0)
+            idx = (layer, kv_i, blk, 0, 0, 0)
+            cur = jax.lax.dynamic_slice(
+                data, idx, (1, 1, 1) + data.shape[3:])
+            upd = jnp.where(invalid, cur, page[None, None, None])
+            data = jax.lax.dynamic_update_slice(data, upd, idx)
+        if scales is not None:
+            for kv_i, new in ((0, k_scale), (1, v_scale)):
+                spage = jax.lax.dynamic_slice_in_dim(new, src, block_size, 0)
+                sidx = (layer, kv_i, blk, 0, 0)
+                cur = jax.lax.dynamic_slice(scales, sidx,
+                                            (1, 1, 1) + scales.shape[3:])
+                upd = jnp.where(invalid, cur, spage[None, None, None])
+                scales = jax.lax.dynamic_update_slice(scales, upd, sidx)
+        return data, scales
+
+    data, scales = jax.lax.fori_loop(0, page_dst.shape[0], body,
+                                     (data, scales))
     return KVCache(data, scales)
 
 
@@ -157,14 +255,14 @@ def scatter_blocks(
 
 def dequantize_pages(data: jnp.ndarray,
                      scales: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """[..., KVH, BS, D] int8 pages + [..., KVH, SCALE_LANES] scales ->
+    """[..., BS, KVH, D] int8 pages + [..., BS, SCALE_LANES] scales ->
     f32 (testing / XLA fallback path; the Pallas kernels fuse this into
     attention)."""
     x = data.astype(jnp.float32)
     if scales is None:
         return x
-    bs = data.shape[-2]
-    return x * scales.astype(jnp.float32)[..., :bs, None]
+    kvh = data.shape[-2]
+    return x * scales.astype(jnp.float32)[..., :kvh, None]
 
 
 def kv_cache_shape(
@@ -174,7 +272,7 @@ def kv_cache_shape(
     block_size: int,
     head_dim: int,
 ) -> Tuple[int, int, int, int, int, int]:
-    return (num_layers, 2, num_blocks, num_kv_heads, block_size, head_dim)
+    return (num_layers, 2, num_blocks, block_size, num_kv_heads, head_dim)
 
 
 def kv_scales_shape(
@@ -183,5 +281,5 @@ def kv_scales_shape(
     num_blocks: int,
     block_size: int,
 ) -> Tuple[int, int, int, int, int]:
-    assert block_size <= SCALE_LANES
-    return (num_layers, 2, num_blocks, num_kv_heads, SCALE_LANES)
+    assert num_kv_heads <= SCALE_LANES
+    return (num_layers, 2, num_blocks, block_size, SCALE_LANES)

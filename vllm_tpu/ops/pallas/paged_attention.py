@@ -7,9 +7,11 @@ softmax/accumulation. The CUDA kernel maps (head, seq) to thread
 blocks with shared-memory logits (attention_kernels.cu:66-91).
 
 TPU design notes (what made this fast):
-- Cache layout [L, 2, NB, KVH, BS, D]: a page is contiguous across ALL
-  kv heads, so one DMA moves kv_heads*block_size*head_dim bytes per
-  page instead of a latency-bound per-(page, head) transfer.
+- Cache layout [L, 2, NB, BS, KVH, D]: a page is contiguous across ALL
+  kv heads, so one DMA moves block_size*kv_heads*head_dim bytes per
+  page instead of a latency-bound per-(page, head) transfer (the
+  block_size-outside-kv_heads order makes write_kv's token rows
+  contiguous too, see ops/cache.py).
 - Pages stream HBM->VMEM in chunks through a double-buffered pipeline
   that prefetches ACROSS grid steps: while sequence b's last chunk
   computes, sequence b+1's first chunk is already in flight (buffer
@@ -55,7 +57,7 @@ def _decode_kernel(
     init_flag_ref,  # [1] i32 (SMEM)
     # inputs
     q_ref,  # [1, KVH, G, D] VMEM block for this sequence
-    kv_hbm,  # [L, 2, NB, KVH, BS, D] full cache in HBM/ANY
+    kv_hbm,  # [L, 2, NB, BS, KVH, D] full cache in HBM/ANY
     *rest,  # (scales_hbm,) o_ref, k_buf, v_buf, sems (, sk_buf, sv_buf, s_sems)
     layer: int,
     scale: float,
@@ -153,21 +155,20 @@ def _decode_kernel(
             buffer_index_ref[0] = 1 - slot
             wait_chunk(b, i, slot)
 
-            # Dequantize in the page buffer's own layout (scale
-            # broadcasts along lanes — a [KVH, P*BS] lane-merged scale
-            # row would be an unsupported sublane->lane relayout).
+            # Dequantize in the page buffer's own layout (the scale
+            # page [BS, SCALE_LANES] broadcasts straight along lanes).
             kb = k_buf[slot]
             vb = v_buf[slot]
             if quantized:
-                sk = sk_buf[slot, :, :, :block_size]  # load [P, KVH, BS]
-                sv = sv_buf[slot, :, :, :block_size]
+                sk = sk_buf[slot, :, :, :kvh]  # load [P, BS, KVH]
+                sv = sv_buf[slot, :, :, :kvh]
                 kb = kb.astype(jnp.float32) * sk[..., None]
                 vb = vb.astype(jnp.float32) * sv[..., None]
-            # [P, KVH, BS, D] -> [KVH, CHUNK, D]
-            k = kb.astype(mxu_dtype).swapaxes(0, 1).reshape(
-                kvh, chunk_tokens, d)
-            v = vb.astype(mxu_dtype).swapaxes(0, 1).reshape(
-                kvh, chunk_tokens, d)
+            # [P, BS, KVH, D] -> [KVH, CHUNK, D]
+            k = kb.astype(mxu_dtype).reshape(chunk_tokens, kvh,
+                                             d).swapaxes(0, 1)
+            v = vb.astype(mxu_dtype).reshape(chunk_tokens, kvh,
+                                             d).swapaxes(0, 1)
             s = jax.lax.dot_general(
                 qm, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
@@ -208,7 +209,7 @@ def pallas_paged_decode_attention(
 ) -> jnp.ndarray:
     B, H, D = q.shape
     data, scales = kv_cache
-    _, _, NB, KVH, BS, _ = data.shape
+    _, _, NB, BS, KVH, _ = data.shape
     G = H // KVH
     quantized = scales is not None
 
@@ -220,16 +221,16 @@ def pallas_paged_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, pages, KVH, BS, D), data.dtype),
-        pltpu.VMEM((2, pages, KVH, BS, D), data.dtype),
+        pltpu.VMEM((2, pages, BS, KVH, D), data.dtype),
+        pltpu.VMEM((2, pages, BS, KVH, D), data.dtype),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
     operands = [q_grouped, data]
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
-            pltpu.VMEM((2, pages, KVH, SCALE_LANES), jnp.float32),
-            pltpu.VMEM((2, pages, KVH, SCALE_LANES), jnp.float32),
+            pltpu.VMEM((2, pages, BS, SCALE_LANES), jnp.float32),
+            pltpu.VMEM((2, pages, BS, SCALE_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
         operands.append(scales)

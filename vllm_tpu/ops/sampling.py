@@ -49,17 +49,22 @@ def sample(
     key: jax.Array,
     num_samples: int,
     num_topk: int,
+    greedy_only: bool = False,
 ) -> SamplerOutput:
     """Sample tokens for every row of a [B, V] logits batch.
 
     ``num_samples`` covers parallel sampling (best_of > 1 on prompt
     steps); ``num_topk`` covers requested logprobs and beam-search
     candidate expansion (host picks beams from topk_ids/logprobs).
+    ``greedy_only`` (static) skips the full-vocab sort + categorical
+    draw — at batch 64 the [B, 32000] sort alone costs ~20 ms/step on
+    TPU, and greedy rows never consume it.
     """
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
 
-    # Presence/frequency penalties from output-token counts.
+    # Presence/frequency penalties from output-token counts (these
+    # shift the argmax too, so they stay in the greedy path).
     counts = jnp.zeros((B, V), jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, tensors.output_tokens.shape, 0)
     counts = counts.at[rows, tensors.output_tokens].add(1.0, mode="drop")
@@ -73,6 +78,15 @@ def sample(
     # Logprobs are reported pre-top-p/k filtering (reference semantics).
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     topk_logprobs, topk_ids = jax.lax.top_k(logprobs, num_topk)
+
+    if greedy_only:
+        sampled = jnp.broadcast_to(topk_ids[:, 0][None], (num_samples, B))
+        sample_logprobs = jnp.broadcast_to(topk_logprobs[:, 0][None],
+                                           (num_samples, B))
+        return SamplerOutput(samples=sampled,
+                             sample_logprobs=sample_logprobs,
+                             topk_ids=topk_ids,
+                             topk_logprobs=topk_logprobs)
 
     # Top-p/top-k filtering in sorted space, then categorical sampling.
     sorted_logits, sorted_ids = jax.lax.top_k(logits, V)

@@ -187,9 +187,11 @@ class TPUWorker:
             def abstract(shape, dtype=i32):
                 return jax.ShapeDtypeStruct(shape, dtype)
 
+            NP = T // self.block_size + S
             pre_batch = PrefillBatch(abstract((T,)), abstract((T,)),
                                      abstract((T,)), abstract((T,)),
-                                     abstract((S,)))
+                                     abstract((S,)), abstract((NP,)),
+                                     abstract((NP,)))
             dec_batch = DecodeBatch(abstract((B,)), abstract((B,)),
                                     abstract((B,)), abstract((B, MB)),
                                     abstract((B,)))
@@ -250,9 +252,9 @@ class TPUWorker:
             if self.kv_quantized else None)
         self.kv_cache = jax.device_put(zeros, self._kv_sharding)
         ncpu = max(cfg.num_cpu_blocks, 1)
-        self.host_pool = np.zeros(
-            (ncpu, self.num_layers, 2, self.num_kv_heads, self.block_size,
-             self.head_dim), dtype=np.dtype(self.kv_dtype))
+        shape = self._kv_shape(ncpu)  # [L, 2, ncpu, BS, KVH, D]
+        self.host_pool = np.zeros((ncpu,) + shape[:2] + shape[3:],
+                                  dtype=np.dtype(self.kv_dtype))
         if self.kv_quantized:
             # Host mirror of the padded scales page layout.
             scales_shape = self._scales_shape(ncpu)
@@ -264,8 +266,10 @@ class TPUWorker:
     # ------------------------------------------------------------------
 
     def _make_step_fn(self, is_prefill: bool, num_samples: int,
-                      num_topk: int, hist_len: int, num_steps: int = 1):
-        key_sig = ("step", is_prefill, num_samples, num_topk, num_steps)
+                      num_topk: int, hist_len: int, num_steps: int = 1,
+                      greedy_only: bool = False):
+        key_sig = ("step", is_prefill, num_samples, num_topk, num_steps,
+                   greedy_only)
         if key_sig in self._fn_cache:
             return self._fn_cache[key_sig]
         model = self.model
@@ -279,7 +283,8 @@ class TPUWorker:
                 if is_prefill:
                     hidden = hidden[batch.logits_indices]
                 logits = model.compute_logits(params, hidden)
-                out = sample(logits, tensors, key, num_samples, num_topk)
+                out = sample(logits, tensors, key, num_samples, num_topk,
+                             greedy_only)
                 if not is_prefill:
                     out = jax.tree.map(lambda x: x[None], out)  # [1, ...]
                 return kv_cache, out
@@ -317,7 +322,7 @@ class TPUWorker:
                     logits = model.compute_logits(params, hidden)
                     out = sample(logits, tensors,
                                  jax.random.fold_in(key, j), num_samples,
-                                 num_topk)
+                                 num_topk, greedy_only)
                     return (kv, out.samples[0], pos + 1), out
 
                 (kv_cache, _, _), outs = jax.lax.scan(
@@ -375,14 +380,17 @@ class TPUWorker:
 
         S = cfg.max_prefill_seqs
         for T in cfg.prefill_token_buckets:
+            NP = T // self.block_size + S
             batch = PrefillBatch(
                 token_ids=jnp.zeros((T,), jnp.int32),
                 positions=jnp.zeros((T,), jnp.int32),
                 seq_ids=jnp.full((T,), -1, jnp.int32),
                 slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
                 logits_indices=jnp.zeros((S,), jnp.int32),
+                page_src=jnp.zeros((NP,), jnp.int32),
+                page_dst=jnp.full((NP,), -1, jnp.int32),
             )
-            fn = self._make_step_fn(True, 1, 1, hist0)
+            fn = self._make_step_fn(True, 1, 1, hist0, greedy_only=True)
             self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
                                   tensors(S), key)
         MB = self._block_buckets[-1]
@@ -395,7 +403,7 @@ class TPUWorker:
                 context_lens=jnp.zeros((B,), jnp.int32),
             )
             fn = self._make_step_fn(False, 1, 1, hist0,
-                                    cfg.num_decode_steps)
+                                    cfg.num_decode_steps, greedy_only=True)
             self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
                                   tensors(B), key)
         jax.block_until_ready(self.kv_cache.data)
@@ -457,8 +465,7 @@ class TPUWorker:
         dev_ids = [mapping[c] for c in cpu_ids]
         n = len(cpu_ids)
         bucket = pick_bucket(PAIR_BUCKETS, n)
-        blocks = np.zeros((self.num_layers, 2, bucket, self.num_kv_heads,
-                           self.block_size, self.head_dim),
+        blocks = np.zeros(self._kv_shape(bucket),
                           dtype=self.host_pool.dtype)
         blocks[:, :, :n] = np.moveaxis(self.host_pool[cpu_ids], 0, 2)
         scales = None
@@ -611,6 +618,21 @@ class TPUWorker:
                     cursor += 1
                 logits_idx[i] = cursor - 1
 
+        # Page-granularity KV-write plan: each sequence fills its
+        # blocks contiguously from its batch start (one
+        # dynamic-update-slice per page instead of per-token scatters).
+        NP = T // self.block_size + S
+        page_src = np.zeros((NP,), np.int32)
+        page_dst = np.full((NP,), -1, np.int32)
+        pi = 0
+        start = 0
+        for ids, table in pack_seqs:
+            for p in range(cdiv(len(ids), self.block_size)):
+                page_src[pi] = start + p * self.block_size
+                page_dst[pi] = table[p]
+                pi += 1
+            start += len(ids)
+
         num_samples = pick_bucket(
             SAMPLE_BUCKETS,
             max((md.sampling_params.best_of for md in metadata_list
@@ -619,24 +641,30 @@ class TPUWorker:
             TOPK_BUCKETS,
             max(self._row_topk_need(md.sampling_params, True)
                 for md in metadata_list))
+        greedy_only = all(md.sampling_params.is_greedy
+                          or md.sampling_params.use_beam_search
+                          for md in metadata_list)
         plan = [
-            np.array([0, num_samples, num_topk], np.int32),
+            np.array([0, num_samples, num_topk, int(greedy_only)], np.int32),
             tokens,
             positions,
             seq_ids_flat,
             slots,
             logits_idx,
+            page_src,
+            page_dst,
         ] + self._sampling_arrays(rows, S, vocab)
         self._broadcast_plan(plan)
         out = self._exec_prefill(plan)
         return self._collect_prompt_outputs(metadata_list, out)
 
     def _exec_prefill(self, plan: List[np.ndarray]):
-        _, num_samples, num_topk = (int(x) for x in plan[0])
-        batch = PrefillBatch(*(jnp.asarray(a) for a in plan[1:6]))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
+        _, num_samples, num_topk, greedy_only = (int(x) for x in plan[0])
+        batch = PrefillBatch(*(jnp.asarray(a) for a in plan[1:8]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[8:14]))
         hist_len = tensors.output_tokens.shape[1]
-        fn = self._make_step_fn(True, num_samples, num_topk, hist_len)
+        fn = self._make_step_fn(True, num_samples, num_topk, hist_len,
+                                greedy_only=bool(greedy_only))
         self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
                                 self._next_key())
         return out
@@ -730,8 +758,11 @@ class TPUWorker:
             TOPK_BUCKETS,
             max(self._row_topk_need(md.sampling_params, False)
                 for md, _ in row_seq))
+        greedy_only = all(md.sampling_params.is_greedy
+                          or md.sampling_params.use_beam_search
+                          for md, _ in row_seq)
         plan = [
-            np.array([1, num_steps, num_topk], np.int32),
+            np.array([1, num_steps, num_topk, int(greedy_only)], np.int32),
             tokens,
             positions,
             slots,
@@ -749,11 +780,12 @@ class TPUWorker:
         ]
 
     def _exec_decode(self, plan: List[np.ndarray]):
-        _, num_steps, num_topk = (int(x) for x in plan[0])
+        _, num_steps, num_topk, greedy_only = (int(x) for x in plan[0])
         batch = DecodeBatch(*(jnp.asarray(a) for a in plan[1:6]))
         tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
         hist_len = tensors.output_tokens.shape[1]
-        fn = self._make_step_fn(False, 1, num_topk, hist_len, num_steps)
+        fn = self._make_step_fn(False, 1, num_topk, hist_len, num_steps,
+                                greedy_only=bool(greedy_only))
         self.kv_cache, outs = fn(self.params, self.kv_cache, batch, tensors,
                                  self._next_key())
         return outs
