@@ -45,13 +45,13 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
     block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(
         np.int32)
 
-    kv_data = rng.standard_normal((L, 2, NB, BS, KVH, D), dtype=np.float32)
+    kv_data = rng.standard_normal((L, NB, 2, KVH, BS, D), dtype=np.float32)
     if quantized:
         from vllm_tpu.ops.cache import kv_scales_shape
-        scales = np.abs(kv_data).max(-1) / 127.0 + 1e-10
+        scales = np.abs(kv_data).max(-1) / 127.0 + 1e-10  # [L,NB,2,KVH,BS]
         kv_int = np.clip(np.round(kv_data / scales[..., None]), -127, 127)
         scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-        scales_page[..., :KVH] = scales
+        scales_page[..., :KVH] = np.swapaxes(scales, -1, -2)
         kv_cache = KVCache(jnp.asarray(kv_int, jnp.int8),
                            jnp.asarray(scales_page))
         # The reference below must see exactly what the kernel sees.
@@ -71,12 +71,13 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
         if ctx == 0:
             assert np.isfinite(out[i]).all()
             continue
-        # pages are [BS, KVH, D]: concatenating on the token axis
-        # directly yields [ctx, KVH, D]
+        # pages are [2, KVH, BS, D]: move tokens in front, concat
         ks = np.concatenate(
-            [kv_data[1, 0, b] for b in block_tables[i]], axis=0)[:ctx]
+            [np.moveaxis(kv_data[1, b, 0], 1, 0) for b in block_tables[i]],
+            axis=0)[:ctx]
         vs = np.concatenate(
-            [kv_data[1, 1, b] for b in block_tables[i]], axis=0)[:ctx]
+            [np.moveaxis(kv_data[1, b, 1], 1, 0) for b in block_tables[i]],
+            axis=0)[:ctx]
         ref = naive_attention(q[i], ks, vs, scale)
         np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=2e-3)
 

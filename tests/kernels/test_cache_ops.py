@@ -20,10 +20,11 @@ def make_cache(seed=0, quantized=False) -> KVCache:
                                dtype=np.float32)
     if not quantized:
         return KVCache(jnp.asarray(data), None)
-    scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, 2, NB, BS, KVH]
+    scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, NB, 2, KVH, BS]
     q = np.clip(np.round(data / scales[..., None]), -127, 127)
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., :KVH] = scales
+    # scale page layout: [.., 2, BS, LANES] with heads in lanes
+    scales_page[..., :KVH] = np.swapaxes(scales, -1, -2)
     return KVCache(jnp.asarray(q, jnp.int8), jnp.asarray(scales_page))
 
 
@@ -44,8 +45,8 @@ def test_write_kv_scatters_and_drops_padding():
         if slot == int(PAD_SLOT):
             continue
         b, off = slot // BS, slot % BS
-        ref[1, 0, b, off] = k[t]
-        ref[1, 1, b, off] = v[t]
+        ref[1, b, 0, :, off] = k[t]
+        ref[1, b, 1, :, off] = v[t]
     np.testing.assert_array_equal(out_data, ref)
     # Layer 0 untouched.
     np.testing.assert_array_equal(out_data[0], np.asarray(cache.data)[0])
@@ -68,9 +69,9 @@ def test_write_kv_int8_quantizes_on_write():
             continue
         b, off = slot // BS, slot % BS
         # Per-vector symmetric int8: relative error <= 1/127 of amax.
-        np.testing.assert_allclose(deq[0, 0, b, off], k[t],
+        np.testing.assert_allclose(deq[0, b, 0, :, off], k[t],
                                    atol=np.abs(k[t]).max() / 127 + 1e-6)
-        np.testing.assert_allclose(deq[0, 1, b, off], v[t],
+        np.testing.assert_allclose(deq[0, b, 1, :, off], v[t],
                                    atol=np.abs(v[t]).max() / 127 + 1e-6)
 
 
@@ -85,8 +86,8 @@ def test_copy_blocks_all_layers(quantized):
             continue
         got, orig = np.asarray(got), np.asarray(orig)
         ref = orig.copy()
-        ref[:, :, 6] = orig[:, :, 1]
-        ref[:, :, 7] = orig[:, :, 3]
+        ref[:, 6] = orig[:, 1]
+        ref[:, 7] = orig[:, 3]
         np.testing.assert_array_equal(got, ref)
 
 
@@ -95,15 +96,15 @@ def test_swap_roundtrip(quantized):
     cache = make_cache(3, quantized)
     ids = np.array([2, 5], dtype=np.int32)
     staged = gather_blocks(cache, jnp.asarray(ids))
-    assert staged.data.shape == (L, 2, 2, BS, KVH, D)
+    assert staged.data.shape == (L, 2, 2, KVH, BS, D)
     if quantized:
         assert staged.scales.shape == kv_scales_shape(L, KVH, 2, BS)
     wiped_data = np.asarray(cache.data).copy()
-    wiped_data[:, :, ids] = 0
+    wiped_data[:, ids] = 0
     wiped_scales = None
     if quantized:
         wiped_scales = np.asarray(cache.scales).copy()
-        wiped_scales[:, :, ids] = 0
+        wiped_scales[:, ids] = 0
         wiped_scales = jnp.asarray(wiped_scales)
     restored = scatter_blocks(KVCache(jnp.asarray(wiped_data), wiped_scales),
                               jnp.asarray(ids), staged)

@@ -75,20 +75,24 @@ def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                 context_lens, scale):
     B, H, D = q.shape
     data, scales = kv_cache
-    _, _, NB, BS, KVH, _ = data.shape
+    _, NB, _, KVH, BS, _ = data.shape
     G = H // KVH
     MB = block_tables.shape[1]
     S = MB * BS
 
     tables = jnp.clip(block_tables, 0, NB - 1)
+    # [B, MB, 2, KVH, BS, D] f32 (dequantized)
+    pages = data[layer][tables].astype(jnp.float32)
+    if scales is not None:
+        # scales [B, MB, 2, BS, LANES] -> [B, MB, 2, KVH, BS]
+        s = jnp.swapaxes(
+            scales[layer][tables].astype(jnp.float32)[..., :KVH], -1, -2)
+        pages = pages * s[..., None]
 
     def fetch(kv: int) -> jnp.ndarray:
-        # [B, MB, BS, KVH, D] f32 (dequantized) -> [B, KVH, S, D]
-        pages = data[layer, kv][tables].astype(jnp.float32)
-        if scales is not None:
-            pages = pages * scales[layer, kv][tables].astype(
-                jnp.float32)[..., :KVH, None]
-        return pages.transpose(0, 3, 1, 2, 4).reshape(B, KVH, S, D)
+        # [B, MB, KVH, BS, D] -> [B, KVH, MB*BS, D]
+        return pages[:, :, kv].transpose(0, 2, 1, 3,
+                                         4).reshape(B, KVH, S, D)
 
     k = fetch(0)
     v = fetch(1)

@@ -3,14 +3,20 @@
 Capability parity: /root/reference/csrc/cache_kernels.cu
 reshape_and_cache (:142-224) — one thread block per token scattering
 its K/V vectors through slot_mapping. XLA has no fast path for this
-(scatter runs ~6 us/row; a per-row dynamic-update-slice loop ~4 us/row
-≈ 9 ms/step for a 64-row decode on a 32-layer model); here each token
-row is ONE async VMEM->HBM copy (~0.2 us to issue), with quantization
-done vectorized in XLA before the kernel.
+(scatter runs ~6 us/row, per-row dynamic-update-slices ~4 us/row);
+here the kernel is a batched page read-modify-write: DMA every
+written page into VMEM (one copy per page — the layout keeps a page's
+K, V and heads contiguous), merge each token's column in with ONE
+vectorized sublane mask over the whole batch, and DMA the pages back.
+All reads pipeline together, then all writes — no per-token latency.
 
-The cache is passed in HBM and aliased to the output, so the copies
-mutate it in place. Prefill uses page-granularity writes instead
-(ops/cache.py write_kv_pages).
+Safety: tokens in one call must target DISTINCT blocks. Decode steps
+satisfy this by construction (every running sequence exclusively owns
+its tail block after copy-on-write). Quantization happens vectorized
+in XLA before the kernel; the cache is aliased in place.
+
+Prefill uses page-granularity writes instead (ops/cache.py
+write_kv_pages).
 """
 
 import functools
@@ -30,55 +36,80 @@ def _write_kernel(
     # scalar prefetch
     slots_ref,  # [B] i32 (SMEM)
     # inputs
-    k_ref,  # [B, KVH, D] VMEM
-    v_ref,  # [B, KVH, D] VMEM
-    kv_in,  # [L, 2, NB, BS, KVH, D] HBM (aliased to data_out)
-    *rest,  # [ks, vs, scales_in,] data_out [, scales_out], sems
+    kv_ref,  # [B, 2, KVH, D] VMEM (K and V stacked per token)
+    kv_in,  # [L, NB, 2, KVH, BS, D] HBM (aliased to data_out)
+    *rest,  # [scale_ref, scales_in,] data_out [, scales_out], page_buf
+            # [, spage_buf], sems
     layer: int,
     block_size: int,
     num_blocks: int,
     quantized: bool,
     pad_slot: int,
 ):
-    del kv_in  # aliased: writes go through the output ref
+    del kv_in  # aliased: reads/writes go through the output ref
     if quantized:
-        k_scale_ref, v_scale_ref, _scales_in, data_out, scales_out, sems = rest
+        (scale_ref, _scales_in, data_out, scales_out, page_buf, spage_buf,
+         sems) = rest
     else:
-        (data_out, sems) = rest
-        k_scale_ref = v_scale_ref = scales_out = None
-    B = k_ref.shape[0]
+        (data_out, page_buf, sems) = rest
+        scale_ref = scales_out = spage_buf = None
+    B = kv_ref.shape[0]
 
-    copies = []
+    def page_copies(direction):
+        out = []
+        for i in range(B):
+            slot = slots_ref[i]
+            blk = jnp.clip(slot // block_size, 0, num_blocks - 1)
+            hbm = data_out.at[layer, blk]
+            vmem = page_buf.at[i]
+            pair = ([pltpu.make_async_copy(hbm, vmem, sems.at[0])]
+                    if direction == 0 else
+                    [pltpu.make_async_copy(vmem, hbm, sems.at[0])])
+            if quantized:
+                shbm = scales_out.at[layer, blk]
+                svmem = spage_buf.at[i]
+                pair.append(
+                    pltpu.make_async_copy(shbm, svmem, sems.at[1])
+                    if direction == 0 else
+                    pltpu.make_async_copy(svmem, shbm, sems.at[1]))
+            out.append((slot, pair))
+        return out
+
+    def run(direction):
+        copies = page_copies(direction)
+        for slot, pair in copies:
+            @pl.when(slot != pad_slot)
+            def _start(pair=pair):
+                for c in pair:
+                    c.start()
+        for slot, pair in copies:
+            @pl.when(slot != pad_slot)
+            def _wait(pair=pair):
+                for c in pair:
+                    c.wait()
+
+    run(0)  # pages in
+
+    # Merge each token's column with a sublane mask (scalar offsets
+    # broadcast fine; a batched [B]-major broadcast is an unsupported
+    # Mosaic shape cast).
     for i in range(B):
         slot = slots_ref[i]
-        blk = jnp.clip(slot // block_size, 0, num_blocks - 1)
-        off = jnp.clip(slot % block_size, 0, block_size - 1)
-        copies.append((slot, [
-            pltpu.make_async_copy(k_ref.at[i],
-                                  data_out.at[layer, 0, blk, off],
-                                  sems.at[0]),
-            pltpu.make_async_copy(v_ref.at[i],
-                                  data_out.at[layer, 1, blk, off],
-                                  sems.at[1]),
-        ] + ([
-            pltpu.make_async_copy(k_scale_ref.at[i],
-                                  scales_out.at[layer, 0, blk, off],
-                                  sems.at[2]),
-            pltpu.make_async_copy(v_scale_ref.at[i],
-                                  scales_out.at[layer, 1, blk, off],
-                                  sems.at[3]),
-        ] if quantized else [])))
+        off = jax.lax.rem(jnp.minimum(slot, pad_slot - 1),
+                          jnp.int32(block_size))
+        is_pad = slot == pad_slot
+        page = page_buf[i][...]  # [2, KVH, BS, D]
+        tok = jax.lax.broadcasted_iota(jnp.int32, page.shape, 2)
+        keep = jnp.logical_or(is_pad, tok != off)
+        page_buf[i] = jnp.where(keep, page, kv_ref[i][...][:, :, None, :])
+        if quantized:
+            spage = spage_buf[i][...]  # [2, BS, SCALE_LANES]
+            tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 1)
+            keep = jnp.logical_or(is_pad, tok != off)
+            spage_buf[i] = jnp.where(keep, spage,
+                                     scale_ref[i][...][:, None, :])
 
-    for slot, row_copies in copies:
-        @pl.when(slot != pad_slot)
-        def _start(row_copies=row_copies):
-            for c in row_copies:
-                c.start()
-    for slot, row_copies in copies:
-        @pl.when(slot != pad_slot)
-        def _wait(row_copies=row_copies):
-            for c in row_copies:
-                c.wait()
+    run(1)  # pages back out
 
 
 @functools.partial(jax.jit, static_argnames=("layer",))
@@ -88,47 +119,45 @@ def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
     kv_cache: KVCache; k, v: [B, KVH, D] (float — quantized here when
     the cache is int8); slot_mapping: [B] i32, PAD_SLOT rows skipped.
     """
-    from vllm_tpu.ops.cache import PAD_SLOT, KVCache, quantize_kv, _pad_lanes
+    from vllm_tpu.ops.cache import PAD_SLOT, KVCache, _combine_quantize
 
     data, scales = kv_cache
-    _, _, NB, BS, KVH, D = data.shape
+    _, NB, _, KVH, BS, D = data.shape
     B = k.shape[0]
     quantized = scales is not None
+    kv, kv_scales = _combine_quantize(kv_cache, k, v)  # [B, 2, KVH, D]
 
     operands = []
     out_shapes = [jax.ShapeDtypeStruct(data.shape, data.dtype)]
     if quantized:
-        k, k_scale = quantize_kv(k)
-        v, v_scale = quantize_kv(v)
-        lanes = scales.shape[-1]
-        k_scale = _pad_lanes(k_scale, lanes)
-        v_scale = _pad_lanes(v_scale, lanes)
-        operands = [k_scale, v_scale, scales]
+        operands = [kv_scales, scales]
         out_shapes.append(jax.ShapeDtypeStruct(scales.shape, scales.dtype))
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # kv rows
         pl.BlockSpec(memory_space=pl.ANY),  # cache data
     ]
+    scratch_shapes = [pltpu.VMEM((B, 2, KVH, BS, D), data.dtype)]
     if quantized:
         in_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # kv scale rows
             pl.BlockSpec(memory_space=pl.ANY),  # cache scales
         ]
+        scratch_shapes.append(
+            pltpu.VMEM((B, 2, BS, scales.shape[-1]), scales.dtype))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     # Alias indices count flattened inputs INCLUDING the scalar-prefetch
-    # arg: slots=0, k=1, v=2, data=3[, k_scale=4, v_scale=5, scales=6].
-    aliases = {3: 0}
+    # arg: slots=0, kv=1, data=2[, kv_scales=3, scales=4].
+    aliases = {2: 0}
     if quantized:
-        aliases[6] = 1
+        aliases[4] = 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=scratch_shapes,
     )
     kernel = pl.pallas_call(
         functools.partial(_write_kernel, layer=layer, block_size=BS,
@@ -139,8 +168,7 @@ def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
         input_output_aliases=aliases,
         interpret=_interpret(),
     )
-    outs = kernel(slot_mapping.astype(jnp.int32), k.astype(data.dtype),
-                  v.astype(data.dtype), data, *operands)
+    outs = kernel(slot_mapping.astype(jnp.int32), kv, data, *operands)
     if quantized:
         return KVCache(outs[0], outs[1])
     return KVCache(outs[0], None)

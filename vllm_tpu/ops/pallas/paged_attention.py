@@ -7,11 +7,12 @@ softmax/accumulation. The CUDA kernel maps (head, seq) to thread
 blocks with shared-memory logits (attention_kernels.cu:66-91).
 
 TPU design notes (what made this fast):
-- Cache layout [L, 2, NB, BS, KVH, D]: a page is contiguous across ALL
-  kv heads, so one DMA moves block_size*kv_heads*head_dim bytes per
-  page instead of a latency-bound per-(page, head) transfer (the
-  block_size-outside-kv_heads order makes write_kv's token rows
-  contiguous too, see ops/cache.py).
+- Cache layout [L, NB, 2, KVH, BS, D]: a page is contiguous across K,
+  V, and ALL kv heads, so ONE DMA per page (plus one for its scales)
+  fetches everything, and heads-outside-tokens makes the chunk
+  assembly [KVH, CHUNK, D] a FREE shape cast — a token-major page
+  needed a real transpose per chunk that was >half the kernel time
+  (see ops/cache.py for the full layout rationale).
 - Pages stream HBM->VMEM in chunks through a double-buffered pipeline
   that prefetches ACROSS grid steps: while sequence b's last chunk
   computes, sequence b+1's first chunk is already in flight (buffer
@@ -42,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_tpu.ops.cache import KVCache, SCALE_LANES
 
 _NEG_INF = -1e30
-_PAGES_PER_CHUNK = 8  # pages fetched + processed per pipeline stage
+_PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
 
 
 def _interpret() -> bool:
@@ -57,8 +58,8 @@ def _decode_kernel(
     init_flag_ref,  # [1] i32 (SMEM)
     # inputs
     q_ref,  # [1, KVH, G, D] VMEM block for this sequence
-    kv_hbm,  # [L, 2, NB, BS, KVH, D] full cache in HBM/ANY
-    *rest,  # (scales_hbm,) o_ref, k_buf, v_buf, sems (, sk_buf, sv_buf, s_sems)
+    kv_hbm,  # [L, NB, 2, KVH, BS, D] full cache in HBM/ANY
+    *rest,  # (scales_hbm,) o_ref, kv_buf, sems (, s_buf, s_sems)
     layer: int,
     scale: float,
     block_size: int,
@@ -66,11 +67,10 @@ def _decode_kernel(
     quantized: bool,
 ):
     if quantized:
-        (scales_hbm, o_ref, k_buf, v_buf, sems, sk_buf, sv_buf,
-         s_sems) = rest
+        (scales_hbm, o_ref, kv_buf, sems, s_buf, s_sems) = rest
     else:
-        (o_ref, k_buf, v_buf, sems) = rest
-        scales_hbm = sk_buf = sv_buf = s_sems = None
+        (o_ref, kv_buf, sems) = rest
+        scales_hbm = s_buf = s_sems = None
 
     b = pl.program_id(0)
     B = pl.num_programs(0)
@@ -82,35 +82,32 @@ def _decode_kernel(
     def chunks_of(bb):
         return pl.cdiv(context_lens_ref[bb], chunk_tokens)
 
-    def copies(bb, i, slot, kv):
+    def copies(bb, i, slot):
         """Per-page async copies of chunk i of sequence bb (shared
         semaphore; tail pages clamp to a valid table entry and are
-        masked in compute)."""
+        masked in compute). One combined K+V payload copy per page,
+        plus one scale copy when quantized."""
         out = []
-        buf = k_buf if kv == 0 else v_buf
         for j in range(pages):
             page = block_tables_ref[bb,
                                     jnp.minimum(i * pages + j, mb - 1)]
             out.append(
-                pltpu.make_async_copy(kv_hbm.at[layer, kv, page],
-                                      buf.at[slot, j], sems.at[slot, kv]))
+                pltpu.make_async_copy(kv_hbm.at[layer, page],
+                                      kv_buf.at[slot, j], sems.at[slot]))
             if quantized:
-                sbuf = sk_buf if kv == 0 else sv_buf
                 out.append(
-                    pltpu.make_async_copy(scales_hbm.at[layer, kv, page],
-                                          sbuf.at[slot, j],
-                                          s_sems.at[slot, kv]))
+                    pltpu.make_async_copy(scales_hbm.at[layer, page],
+                                          s_buf.at[slot, j],
+                                          s_sems.at[slot]))
         return out
 
     def start_chunk(bb, i, slot):
-        for kv in (0, 1):
-            for c in copies(bb, i, slot, kv):
-                c.start()
+        for c in copies(bb, i, slot):
+            c.start()
 
     def wait_chunk(bb, i, slot):
-        for kv in (0, 1):
-            for c in copies(bb, i, slot, kv):
-                c.wait()
+        for c in copies(bb, i, slot):
+            c.wait()
 
     def next_index(i):
         """Index of the chunk after (b, i): (b, i+1), or the first
@@ -156,22 +153,43 @@ def _decode_kernel(
             wait_chunk(b, i, slot)
 
             # Dequantize in the page buffer's own layout (the scale
-            # page [BS, SCALE_LANES] broadcasts straight along lanes).
-            kb = k_buf[slot]
-            vb = v_buf[slot]
+            # page broadcasts straight along lanes). ``[...]`` forces a
+            # full VALUE load — slicing a transformed ref with integer
+            # indices falls into an unsupported gather path on Mosaic.
+            kvb = kv_buf[slot][...]  # [P, 2, KVH, BS, D]
+            # lax.index_in_dim: jnp's mixed int/slice indexing lowers
+            # through a gather Mosaic doesn't support.
+            kb = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
+            vb = jax.lax.index_in_dim(kvb, 1, axis=1, keepdims=False)
+            if not quantized:
+                kb = kb.astype(mxu_dtype)
+                vb = vb.astype(mxu_dtype)
+            # [P, KVH, BS, D] -> [KVH, CHUNK, D]: an outer-dims swap +
+            # sublane-tile merge, i.e. a free shape cast (token-major
+            # pages needed a real transpose here — >half the kernel
+            # time). INT8 payloads go STRAIGHT into the MXU (conversion
+            # fuses into the dot); their per-token scales fold into the
+            # score matrix / softmax weights — payload-sized dequant
+            # passes made the kernel VPU-bound.
+            k = kb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
+            v = vb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             if quantized:
-                sk = sk_buf[slot, :, :, :kvh]  # load [P, BS, KVH]
-                sv = sv_buf[slot, :, :, :kvh]
-                kb = kb.astype(jnp.float32) * sk[..., None]
-                vb = vb.astype(jnp.float32) * sv[..., None]
-            # [P, BS, KVH, D] -> [KVH, CHUNK, D]
-            k = kb.astype(mxu_dtype).reshape(chunk_tokens, kvh,
-                                             d).swapaxes(0, 1)
-            v = vb.astype(mxu_dtype).reshape(chunk_tokens, kvh,
-                                             d).swapaxes(0, 1)
+                sb = s_buf[slot][...]  # [P, 2, BS, SCALE_LANES]
+                sck = jax.lax.index_in_dim(sb, 0, axis=1, keepdims=False)
+                scv = jax.lax.index_in_dim(sb, 1, axis=1, keepdims=False)
+                # [P, BS, LANES] -> [CHUNK, KVH] -> [KVH, CHUNK]
+                # (small-array transposes; the payload stays put).
+                sck = jax.lax.slice_in_dim(
+                    sck.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
+                    axis=1).swapaxes(0, 1)
+                scv = jax.lax.slice_in_dim(
+                    scv.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
+                    axis=1).swapaxes(0, 1)
             s = jax.lax.dot_general(
                 qm, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
+            if quantized:
+                s = s * sck[:, None, :]
             pos = i * chunk_tokens + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 2)
             s = jnp.where(pos < ctx, s, _NEG_INF)
@@ -180,6 +198,8 @@ def _decode_kernel(
             p = jnp.exp(s - m_new[..., None])
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1)
+            if quantized:
+                p = p * scv[:, None, :]
             pv = jax.lax.dot_general(
                 p.astype(mxu_dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, D]
@@ -209,7 +229,7 @@ def pallas_paged_decode_attention(
 ) -> jnp.ndarray:
     B, H, D = q.shape
     data, scales = kv_cache
-    _, _, NB, BS, KVH, _ = data.shape
+    _, NB, _, KVH, BS, _ = data.shape
     G = H // KVH
     quantized = scales is not None
 
@@ -221,17 +241,15 @@ def pallas_paged_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, pages, BS, KVH, D), data.dtype),
-        pltpu.VMEM((2, pages, BS, KVH, D), data.dtype),
-        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((2, pages, 2, KVH, BS, D), data.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     operands = [q_grouped, data]
     if quantized:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
-            pltpu.VMEM((2, pages, BS, SCALE_LANES), jnp.float32),
-            pltpu.VMEM((2, pages, BS, SCALE_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, pages, 2, BS, SCALE_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
         operands.append(scales)
 

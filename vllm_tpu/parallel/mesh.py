@@ -22,12 +22,12 @@ from vllm_tpu.logger import init_logger
 
 logger = init_logger(__name__)
 
-# KV cache payload [L, 2, NB, BS, KVH, D]: shard kv-heads over the
-# model axis. The int8 dequant scales [L, 2, NB, BS, SCALE_LANES] keep
+# KV cache payload [L, NB, 2, KVH, BS, D]: shard kv-heads over the
+# model axis. The int8 dequant scales [L, NB, 2, BS, SCALE_LANES] keep
 # kv-heads in a 128-padded lane axis whose shard boundaries wouldn't
 # line up with the payload's head shards, so they replicate (they are
 # 1/128th of the payload).
-KV_CACHE_SPEC = P(None, None, None, None, "model", None)
+KV_CACHE_SPEC = P(None, None, None, "model", None, None)
 KV_SCALES_SPEC = P(None, None, None, None, None)
 
 

@@ -252,14 +252,14 @@ class TPUWorker:
             if self.kv_quantized else None)
         self.kv_cache = jax.device_put(zeros, self._kv_sharding)
         ncpu = max(cfg.num_cpu_blocks, 1)
-        shape = self._kv_shape(ncpu)  # [L, 2, ncpu, BS, KVH, D]
-        self.host_pool = np.zeros((ncpu,) + shape[:2] + shape[3:],
+        shape = self._kv_shape(ncpu)  # [L, ncpu, BS, 2, KVH, D]
+        self.host_pool = np.zeros((ncpu,) + shape[:1] + shape[2:],
                                   dtype=np.dtype(self.kv_dtype))
         if self.kv_quantized:
             # Host mirror of the padded scales page layout.
             scales_shape = self._scales_shape(ncpu)
             self.host_scales = np.zeros(
-                (ncpu,) + scales_shape[:2] + scales_shape[3:], np.float32)
+                (ncpu,) + scales_shape[:1] + scales_shape[2:], np.float32)
 
     # ------------------------------------------------------------------
     # jitted step programs
@@ -453,12 +453,12 @@ class TPUWorker:
         staged = self._gather_fn(self.kv_cache, jnp.asarray(padded))
         n = len(dev_ids)
         cpu_ids = [mapping[d] for d in dev_ids]
-        # staged.data: [L, 2, P, KVH, BS, D]; host pools are block-major.
+        # staged.data: [L, P, BS, 2, KVH, D]; host pools are block-major.
         self.host_pool[cpu_ids] = np.moveaxis(
-            np.asarray(staged.data)[:, :, :n], 2, 0)
+            np.asarray(staged.data)[:, :n], 1, 0)
         if self.kv_quantized:
             self.host_scales[cpu_ids] = np.moveaxis(
-                np.asarray(staged.scales)[:, :, :n], 2, 0)
+                np.asarray(staged.scales)[:, :n], 1, 0)
 
     def _swap_in(self, mapping: Dict[int, int]) -> None:
         cpu_ids = list(mapping.keys())
@@ -467,11 +467,11 @@ class TPUWorker:
         bucket = pick_bucket(PAIR_BUCKETS, n)
         blocks = np.zeros(self._kv_shape(bucket),
                           dtype=self.host_pool.dtype)
-        blocks[:, :, :n] = np.moveaxis(self.host_pool[cpu_ids], 0, 2)
+        blocks[:, :n] = np.moveaxis(self.host_pool[cpu_ids], 0, 1)
         scales = None
         if self.kv_quantized:
             scales = np.zeros(self._scales_shape(bucket), np.float32)
-            scales[:, :, :n] = np.moveaxis(self.host_scales[cpu_ids], 0, 2)
+            scales[:, :n] = np.moveaxis(self.host_scales[cpu_ids], 0, 1)
         staged = jax.device_put(
             KVCache(jnp.asarray(blocks),
                     None if scales is None else jnp.asarray(scales)),
