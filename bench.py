@@ -80,6 +80,11 @@ def build_llm(kv_cache_dtype: str, max_num_seqs: int,
         num_decode_steps=num_decode_steps,
         max_num_seqs=max_num_seqs,
         max_num_batched_tokens=max_num_batched_tokens,
+        # One program per step kind: compiles (and axon executable
+        # loads) run tens of seconds each, so the bench pins single
+        # buckets instead of the serving ladders.
+        prefill_token_buckets=[max_num_batched_tokens],
+        decode_batch_buckets=[max_num_seqs],
         disable_log_stats=True,
         precompile=True,
     )

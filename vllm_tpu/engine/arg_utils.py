@@ -48,6 +48,10 @@ class EngineArgs:
     # Programmatic only (no CLI flag): a pre-built transformers
     # PretrainedConfig, skipping all hub/disk I/O (tests, dryruns).
     hf_config: Optional[Any] = None
+    # Programmatic only: explicit bucket ladders (fewer buckets =
+    # fewer compiled programs; benchmarks pin one bucket per kind).
+    prefill_token_buckets: Optional[List[int]] = None
+    decode_batch_buckets: Optional[List[int]] = None
 
     def __post_init__(self):
         if self.tokenizer is None:
@@ -140,6 +144,8 @@ class EngineArgs:
             max_model_len=model_config.max_model_len,
             max_prefill_seqs=self.max_prefill_seqs,
             num_decode_steps=self.num_decode_steps,
+            prefill_token_buckets=self.prefill_token_buckets,
+            decode_batch_buckets=self.decode_batch_buckets,
         )
         model_config.verify_with_parallel_config(parallel_config)
         return model_config, cache_config, parallel_config, scheduler_config

@@ -29,56 +29,66 @@ def _interpret() -> bool:
 
 def _prefill_kernel(
     seq_ids_ref,  # [1, T] i32 VMEM (full)
-    q_ref,  # [1, BQ, D] VMEM
-    k_ref,  # [1, T, D] VMEM (whole packed batch for this kv head)
-    v_ref,  # [1, T, D]
-    o_ref,  # [1, BQ, D]
+    q_ref,  # [KVH, G, BQ, D] VMEM block for this query tile
+    k_ref,  # [KVH, T, D] VMEM (whole packed batch, all kv heads)
+    v_ref,  # [KVH, T, D]
+    o_ref,  # [KVH, G, BQ, D]
     *,
     scale: float,
     bq: int,
     bk: int,
 ):
-    qi = pl.program_id(1)
-    q = q_ref[0]  # [BQ, D], kept in input dtype: bf16 feeds the MXU at
-    # full rate; accumulation stays fp32 via preferred_element_type.
+    # ALL heads per grid step via kv-head-batched MXU dots — the
+    # one-head-per-step formulation paid grid/loop overhead 32x and
+    # ran a 1024-token prefill's attention in 84 ms vs ~3 ms of MXU.
+    qi = pl.program_id(0)
+    kvh, g, _, d = q_ref.shape
+    q = q_ref[...]  # input dtype: bf16 feeds the MXU at full rate
+    # [KVH, G, BQ, D] -> [KVH, G*BQ, D] (free shape cast)
+    qm = q.reshape(kvh, g * bq, d)
     q_start = qi * bq
     seg_q = seq_ids_ref[0, pl.ds(q_start, bq)]  # [BQ]
     num_kb = (q_start + bq + bk - 1) // bk  # causal cutoff
 
     def body(ki, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [KVH, G, BQ], same, [KVH, G*BQ, D]
         k_start = pl.multiple_of(ki * bk, bk)
-        k = k_ref[0, pl.ds(k_start, bk)]  # [BK, D]
-        v = v_ref[0, pl.ds(k_start, bk)]
+        k = k_ref[:, pl.ds(k_start, bk), :]  # [KVH, BK, D]
+        v = v_ref[:, pl.ds(k_start, bk), :]
         seg_k = seq_ids_ref[0, pl.ds(k_start, bk)]  # [BK]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(
+            qm, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [KVH, G*BQ, BK]
+        s = s.reshape(kvh, g, bq, bk)
         q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = (seg_q[:, None] == seg_k[None, :]) & (q_pos >= k_pos)
-        s = jnp.where(mask, s, _NEG_INF)
+        s = jnp.where(mask[None, None], s, _NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # [KVH, G, BQ]
+        p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, -1, keepdims=True)
+        l_new = l * corr + jnp.sum(p, -1)
         # PV in the input dtype: fp32 multiplies would run the MXU at
         # 1/8 rate (the reference kernel multiplies in fp16 with fp32
         # accumulate too, attention_kernels.cu:229-254).
-        acc_new = acc * corr + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype).reshape(kvh, g * bq, bk), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [KVH, G*BQ, D]
+        acc_new = acc * corr.reshape(kvh, g * bq)[..., None] + pv
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, q.shape[-1]), jnp.float32)
+    m0 = jnp.full((kvh, g, bq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((kvh, g, bq), jnp.float32)
+    acc0 = jnp.zeros((kvh, g * bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
 
     # Padding tokens (seq_id -1) still match each other, so l > 0 for
     # every realizable row; guard anyway.
-    o_ref[0] = (acc / jnp.maximum(l, 1e-9)).astype(o_ref.dtype)
+    out = acc / jnp.maximum(l.reshape(kvh, g * bq), 1e-9)[..., None]
+    o_ref[...] = out.reshape(kvh, g, bq, d).astype(o_ref.dtype)
 
 
 def _prefill_small_kernel(
@@ -151,25 +161,31 @@ def pallas_prefill_attention(
         out = kernel(seq_ids.astype(jnp.int32).reshape(1, T), qh, kh, vh)
         return jnp.swapaxes(out, 0, 1)
 
+    # q as [KVH, G, T, D] so each grid step sees every head's tile.
+    qg = qh.reshape(KVH, G, T, D)
     kernel = pl.pallas_call(
         functools.partial(_prefill_kernel, scale=scale, bq=bq, bk=bk),
-        grid=(H, T // bq),
+        grid=(T // bq,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda h, qi: (0, 0),
+            pl.BlockSpec((1, T), lambda qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, D), lambda h, qi: (h, qi, 0),
+            pl.BlockSpec((KVH, G, bq, D), lambda qi: (0, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda h, qi: (h // G, 0, 0),
+            pl.BlockSpec((KVH, T, D), lambda qi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda h, qi: (h // G, 0, 0),
+            pl.BlockSpec((KVH, T, D), lambda qi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda h, qi: (h, qi, 0),
+        out_specs=pl.BlockSpec((KVH, G, bq, D), lambda qi: (0, 0, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((KVH, G, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary",),
+            # K+V for all heads resident in VMEM (2 x KVH*T*D bf16 =
+            # 16 MB at T=1024 for a 7B model) exceeds the default 16 MB
+            # scoped budget; v5e has 128 MB of VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
-    out = kernel(seq_ids.astype(jnp.int32).reshape(1, T), qh, kh, vh)
-    return jnp.swapaxes(out, 0, 1)
+    out = kernel(seq_ids.astype(jnp.int32).reshape(1, T), qg, kh, vh)
+    return jnp.swapaxes(out.reshape(H, T, D), 0, 1)

@@ -161,6 +161,12 @@ class TPUWorker:
         budget = int(total_hbm * self.cache_config.gpu_memory_utilization)
         avail = budget - weights_per_dev - temp_bytes
         num_device = max(avail // block_dev_bytes, 0)
+        # Round DOWN to a stable granule: the block count is part of
+        # the KV cache shape, so run-to-run jitter (e.g. in the static
+        # temp estimate) would otherwise change every compiled program
+        # and defeat the persistent compilation cache.
+        if num_device > 256:
+            num_device -= num_device % 256
         if num_device <= 0:
             raise RuntimeError(
                 f"No HBM left for KV cache: budget={budget}, "
