@@ -25,10 +25,21 @@ import math
 import numpy as np
 
 
+_DECODE_ROWS = 256  # teacher-forcing rows per jitted decode program
+
+
 def batched_nll(llm, token_ids, seq_len, stride):
     """Sum NLL of each token given its seq_len-window prefix, decoding
     through the paged cache (teacher forcing via logprobs of the
-    realized token)."""
+    realized token).
+
+    Positions don't depend on each other (the whole window's KV is in
+    the cache after prefill), so they score in _DECODE_ROWS-row
+    DecodeBatches sharing one block table — row for position ``pos``
+    feeds token ids[pos-1] with context_lens=pos, reading keys
+    0..pos-1 through the same paged-attention path serving uses.
+    """
+    import jax
     import jax.numpy as jnp
 
     from vllm_tpu.models.common import DecodeBatch, PrefillBatch
@@ -38,6 +49,18 @@ def batched_nll(llm, token_ids, seq_len, stride):
     model, params = worker.model, worker.params
     block_size = worker.block_size
 
+    @jax.jit
+    def prefill(kv, batch):
+        _, kv = model.forward(params, batch, kv)
+        return kv
+
+    @jax.jit
+    def decode_nll(kv, batch, targets):
+        hidden, _ = model.forward(params, batch, kv)
+        logits = model.compute_logits(params, hidden).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+
     total_nll, total_tokens = 0.0, 0
     windows = range(0, max(len(token_ids) - seq_len, 1), stride)
     for start in windows:
@@ -46,43 +69,49 @@ def batched_nll(llm, token_ids, seq_len, stride):
         n_blocks = -(-T // block_size)
         table = list(range(n_blocks))  # private cache region per window
 
+        # Page-granularity write plan (the engine's fast path): the
+        # window fills blocks contiguously from position 0, so page i
+        # copies tokens [i*BS : (i+1)*BS] into block table[i]. The
+        # token-granularity slot_mapping path would race on TPU (16
+        # tokens share each page's read-modify-write) — see
+        # ops/cache.write_kv's distinct-blocks requirement.
         batch = PrefillBatch(
             token_ids=jnp.asarray(ids, jnp.int32),
             positions=jnp.asarray(np.arange(T), jnp.int32),
             seq_ids=jnp.zeros((T,), jnp.int32),
-            slot_mapping=jnp.asarray(
-                [table[p // block_size] * block_size + p % block_size
-                 for p in range(T)], jnp.int32),
+            slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
             logits_indices=jnp.asarray([T - 1], jnp.int32),
+            page_src=jnp.asarray(
+                [p * block_size for p in range(n_blocks)], jnp.int32),
+            page_dst=jnp.asarray(table, jnp.int32),
         )
-        hidden, kv = model.forward(params, batch, worker.kv_cache)
-        logits = np.asarray(
-            model.compute_logits(params, hidden).astype(jnp.float32))
-        logp = logits - _logsumexp(logits)
-        # Teacher-forced NLL of tokens 1..T-1 given the paged-cache
-        # state (prefill writes quantized KV; decode positions below
-        # re-read it).
-        for pos in range(1, T):
+        worker.kv_cache = prefill(worker.kv_cache, batch)
+
+        # Teacher-forced NLL of tokens 1..T-1 (prefill wrote quantized
+        # KV; these decode rows re-read it like serving would).
+        R = _DECODE_ROWS
+        positions = list(range(1, T))
+        for chunk_start in range(0, len(positions), R):
+            chunk = positions[chunk_start:chunk_start + R]
+            n = len(chunk)
+            pad = R - n
             dbatch = DecodeBatch(
-                token_ids=jnp.asarray([ids[pos - 1]], jnp.int32),
-                positions=jnp.asarray([pos - 1], jnp.int32),
-                slot_mapping=jnp.asarray([int(PAD_SLOT)], jnp.int32),
-                block_tables=jnp.asarray([table], jnp.int32),
-                context_lens=jnp.asarray([pos], jnp.int32),
+                token_ids=jnp.asarray(
+                    [ids[p - 1] for p in chunk] + [0] * pad, jnp.int32),
+                positions=jnp.asarray(
+                    [p - 1 for p in chunk] + [0] * pad, jnp.int32),
+                slot_mapping=jnp.full((R,), int(PAD_SLOT), jnp.int32),
+                block_tables=jnp.asarray([table] * R, jnp.int32),
+                context_lens=jnp.asarray(
+                    [p for p in chunk] + [0] * pad, jnp.int32),
             )
-            dh, kv = model.forward(params, dbatch, kv)
-            dlogits = np.asarray(
-                model.compute_logits(params, dh).astype(jnp.float32))[0]
-            dlogp = dlogits - _logsumexp(dlogits[None])[0]
-            total_nll -= float(dlogp[ids[pos]])
-            total_tokens += 1
-        worker.kv_cache = kv
+            targets = jnp.asarray([ids[p] for p in chunk] + [0] * pad,
+                                  jnp.int32)
+            row_logp = np.asarray(decode_nll(worker.kv_cache, dbatch,
+                                             targets))
+            total_nll -= float(row_logp[:n].sum())
+            total_tokens += n
     return total_nll, total_tokens
-
-
-def _logsumexp(x):
-    m = x.max(-1, keepdims=True)
-    return m + np.log(np.exp(x - m).sum(-1, keepdims=True))
 
 
 def run_config(model_dir, dataset_ids, seq_len, stride, kv_dtype, quant):

@@ -45,6 +45,9 @@ class EngineArgs:
     # Compile every bucketed step program at startup instead of on
     # first use (pairs well with JAX's persistent compilation cache).
     precompile: bool = False
+    # Directory for jax.profiler traces; enables
+    # engine.start_profile()/stop_profile() (view with TensorBoard).
+    profile_dir: Optional[str] = None
     # Programmatic only (no CLI flag): a pre-built transformers
     # PretrainedConfig, skipping all hub/disk I/O (tests, dryruns).
     hf_config: Optional[Any] = None
@@ -103,6 +106,9 @@ class EngineArgs:
         parser.add_argument("--precompile", action="store_true",
                             help="compile all bucketed step programs at "
                             "startup instead of on first use")
+        parser.add_argument("--profile-dir", type=str, default=None,
+                            help="write jax.profiler traces here; "
+                            "start/stop via engine.start_profile()")
         return parser
 
     @classmethod

@@ -44,6 +44,7 @@ class LLMEngine:
         log_stats: bool = True,
         tokenizer: Any = None,
         precompile: bool = False,
+        profile_dir: Optional[str] = None,
     ) -> None:
         logger.info(
             "Initializing engine: model=%r, dtype=%s, kv_cache=%s, "
@@ -72,6 +73,8 @@ class LLMEngine:
             self.worker.precompile()
 
         self.scheduler = Scheduler(scheduler_config, cache_config, log_stats)
+        self.profile_dir = profile_dir
+        self._profiling = False
 
     @classmethod
     def from_engine_args(cls, engine_args: EngineArgs,
@@ -80,7 +83,28 @@ class LLMEngine:
         return cls(*configs,
                    log_stats=not engine_args.disable_log_stats,
                    tokenizer=tokenizer,
-                   precompile=engine_args.precompile)
+                   precompile=engine_args.precompile,
+                   profile_dir=engine_args.profile_dir)
+
+    # -- profiling (SURVEY §5 tracing; no reference analog beyond
+    # benchmark_latency.py's cudaProfilerStart bracket) -------------------
+
+    def start_profile(self) -> None:
+        """Begin a jax.profiler trace (view with TensorBoard)."""
+        if self.profile_dir is None:
+            raise ValueError("Engine was built without profile_dir")
+        if not self._profiling:
+            import jax
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            logger.info("Profiling to %s", self.profile_dir)
+
+    def stop_profile(self) -> None:
+        if self._profiling:
+            import jax
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("Profile trace written to %s", self.profile_dir)
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -97,6 +121,15 @@ class LLMEngine:
         if prompt_token_ids is None:
             assert prompt is not None
             prompt_token_ids = self.tokenizer.encode(prompt)
+        if sampling_params.best_of > 1 and not self.worker.swap_enabled:
+            # Multi-seq groups can only be preempted by SWAP (their
+            # shared/CoW block structure can't be re-prefetched by
+            # recompute); without host swap space a preemption would
+            # kill the step loop mid-serving, so reject up front.
+            raise ValueError(
+                "best_of > 1 / beam search requires host swap space, "
+                "which is disabled in this deployment (multi-host, or "
+                "swap_space=0).")
 
         block_size = self.cache_config.block_size
         seqs = [

@@ -52,7 +52,8 @@ def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
         logger.info("Loading %s weights from %s.", arch, model_config.model)
         params = model.load_weights(
             hf_weights_iterator(model_config.model,
-                                model_config.download_dir))
+                                model_config.download_dir,
+                                model_config.use_np_cache))
     # Weight-only quantization runs leaf-at-a-time after either load
     # path (peak memory: float tree + one int8 leaf).
     from vllm_tpu.models.common import maybe_quantize

@@ -42,8 +42,16 @@ def _resolve_model_dir(model_name_or_path: str, download_dir=None) -> str:
 def hf_weights_iterator(
     model_name_or_path: str,
     download_dir=None,
+    use_np_cache: bool = False,
 ) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yields (param_name, numpy array) over every checkpoint tensor."""
+    """Yields (param_name, numpy array) over every checkpoint tensor.
+
+    ``use_np_cache`` (parity: reference weight_utils.py:44-70) converts
+    torch ``.bin`` checkpoints once into per-tensor ``.npy`` files and
+    mmap-loads those on later starts — torch unpickling is the slow
+    part. Safetensors checkpoints are already zero-copy, so the flag is
+    a no-op for them.
+    """
     folder = _resolve_model_dir(model_name_or_path, download_dir)
     st_files = sorted(glob.glob(os.path.join(folder, "*.safetensors")))
     bin_files = sorted(glob.glob(os.path.join(folder, "*.bin")))
@@ -57,6 +65,9 @@ def hf_weights_iterator(
                 for name in f.keys():
                     yield name, f.get_tensor(name)
     elif bin_files:
+        if use_np_cache:
+            yield from _np_cached_bin_iterator(folder, bin_files)
+            return
         import torch
         for path in bin_files:
             logger.info("Loading weights from %s", os.path.basename(path))
@@ -67,6 +78,39 @@ def hf_weights_iterator(
     else:
         raise FileNotFoundError(
             f"No *.safetensors or *.bin checkpoints under {folder}")
+
+
+def _np_cached_bin_iterator(
+        folder: str, bin_files) -> Iterator[Tuple[str, np.ndarray]]:
+    """Build (once, file-locked) then mmap-read an .npy cache of torch
+    .bin checkpoints."""
+    from filelock import FileLock
+    np_dir = os.path.join(folder, "np")
+    index_path = os.path.join(np_dir, "weight_names.json")
+    os.makedirs(np_dir, exist_ok=True)
+    with FileLock(os.path.join(np_dir, "convert.lock")):
+        if not os.path.exists(index_path):
+            import torch
+            names = []
+            for path in bin_files:
+                logger.info("Converting %s to np cache",
+                            os.path.basename(path))
+                state = torch.load(path, map_location="cpu",
+                                   weights_only=True)
+                for name, tensor in state.items():
+                    arr = tensor.to(torch.float32).numpy()
+                    np.save(os.path.join(np_dir,
+                                         name.replace("/", "--") + ".npy"),
+                            arr)
+                    names.append(name)
+                del state
+            with open(index_path, "w") as f:
+                json.dump(names, f)
+    with open(index_path) as f:
+        names = json.load(f)
+    for name in names:
+        path = os.path.join(np_dir, name.replace("/", "--") + ".npy")
+        yield name, np.load(path, mmap_mode="r")
 
 
 def load_config_json(folder: str) -> dict:

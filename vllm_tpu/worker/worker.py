@@ -82,12 +82,19 @@ class TPUWorker:
         self.parallel_config = parallel_config
         self.scheduler_config = scheduler_config
 
+        t0 = time.perf_counter()
         self.mesh = build_mesh(parallel_config.tensor_parallel_size)
         self.model, params = get_model(model_config)
+        t1 = time.perf_counter()
         self.params = shard_params(params, self.model.param_shardings(),
                                    self.mesh)
+        jax.block_until_ready(self.params)
         self.weights_bytes = sum(
             leaf.nbytes for leaf in jax.tree.leaves(self.params))
+        logger.info("Weights ready: %.2f GiB in %.1f s (load %.1f s, "
+                    "shard %.1f s).", self.weights_bytes / 2**30,
+                    time.perf_counter() - t0, t1 - t0,
+                    time.perf_counter() - t1)
 
         hf = model_config.hf_config
         self.num_layers = hf.num_hidden_layers
@@ -133,6 +140,11 @@ class TPUWorker:
     # memory sizing (parity: worker.py:59-118, re-done statically)
     # ------------------------------------------------------------------
 
+    @property
+    def swap_enabled(self) -> bool:
+        """Whether preempt-by-SWAP (and so beam/best_of>1) is usable."""
+        return (self.cache_config.num_cpu_blocks or 0) > 0
+
     def block_bytes(self) -> int:
         """Global bytes of one KV block across all layers (parity:
         cache_engine.py:132-146), including dequant scales if int8."""
@@ -161,11 +173,12 @@ class TPUWorker:
         budget = int(total_hbm * self.cache_config.gpu_memory_utilization)
         avail = budget - weights_per_dev - temp_bytes
         num_device = max(avail // block_dev_bytes, 0)
-        # Round DOWN to a stable granule: the block count is part of
-        # the KV cache shape, so run-to-run jitter (e.g. in the static
-        # temp estimate) would otherwise change every compiled program
-        # and defeat the persistent compilation cache.
-        if num_device > 256:
+        # The block count is part of the KV cache shape, so run-to-run
+        # jitter in the temp estimate would change every compiled
+        # program and defeat the persistent compilation cache. The
+        # analytic estimate is deterministic; only the compile-measured
+        # path needs rounding to a stable granule.
+        if os.environ.get("VLLM_TPU_EXACT_MEM_PROFILE") and num_device > 256:
             num_device -= num_device % 256
         if num_device <= 0:
             raise RuntimeError(
@@ -179,6 +192,85 @@ class TPUWorker:
         return int(num_device), int(num_cpu)
 
     def _estimate_step_temp_bytes(self) -> int:
+        """Transient HBM a step program needs beyond weights + KV.
+
+        Default: a closed-form bound over the largest bucketed shapes.
+        Step temps are tiny next to the KV budget (~0.1 GiB measured vs
+        ~8 GiB free on a 7B/v5e config), so a conservative formula
+        costs a couple of blocks — while the compile-based exact
+        answer cost ~21 minutes of cold startup (two full 7B step
+        compiles whose programs are then thrown away; the placeholder
+        block count keeps them from ever matching the serving
+        programs in the persistent XLA cache). Set
+        VLLM_TPU_EXACT_MEM_PROFILE=1 to compile-and-measure instead
+        (result disk-cached per config under ~/.cache/vllm_tpu).
+        """
+        if not os.environ.get("VLLM_TPU_EXACT_MEM_PROFILE"):
+            return self._analytic_step_temp_bytes()
+        cache_path = self._mem_profile_cache_path()
+        if cache_path is not None and os.path.exists(cache_path):
+            try:
+                with open(cache_path) as f:
+                    cached = int(f.read().strip())
+                logger.info("Memory profile loaded from %s.", cache_path)
+                return cached
+            except (OSError, ValueError):
+                pass
+        temp = self._compiled_step_temp_bytes()
+        if cache_path is not None:
+            try:
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                with open(cache_path, "w") as f:
+                    f.write(str(temp))
+            except OSError:
+                pass
+        return temp
+
+    def _analytic_step_temp_bytes(self) -> int:
+        """Closed-form bound on step-program temps.
+
+        Accounts the few payload-sized live tensors a step creates:
+        MLP activations (gate/up), q/k/v + residuals, the f32 KV
+        quantize staging, f32 logits + the sampler's full-vocab sort
+        buffers, plus fixed slack for fusion temps. Everything scales
+        with the LARGEST prefill token bucket / decode batch bucket.
+        """
+        cfg = self.scheduler_config
+        hf = self.model_config.hf_config
+        T = cfg.prefill_token_buckets[-1] + cfg.decode_batch_buckets[-1]
+        B = max(cfg.decode_batch_buckets[-1] + cfg.max_prefill_seqs,
+                SAMPLE_BUCKETS[-1])
+        V = self.model_config.get_vocab_size()
+        H = hf.hidden_size
+        inter = getattr(hf, "intermediate_size", None) or 4 * H
+        act = 2  # bf16
+        temp = (
+            2 * T * inter * act        # gate/up MLP activations
+            + 6 * T * H * act          # q,k,v, attn out, 2 residuals
+            + T * 2 * self.num_kv_heads * self.head_dim * 4  # KV quant f32
+            + 4 * B * V * 4            # f32 logits + top-k/sort temps
+        )
+        tp = self.parallel_config.tensor_parallel_size
+        return int(temp // tp + (128 << 20))  # +128 MiB slack
+
+    def _mem_profile_cache_path(self) -> Optional[str]:
+        import hashlib
+        hf = self.model_config.hf_config
+        cfg = self.scheduler_config
+        key = repr((hf.to_diff_dict() if hasattr(hf, "to_diff_dict") else
+                    str(hf), self.cache_config.kv_cache_dtype,
+                    self.model_config.quantization, self.block_size,
+                    cfg.prefill_token_buckets, cfg.decode_batch_buckets,
+                    cfg.max_prefill_seqs, self._block_buckets,
+                    self.parallel_config.tensor_parallel_size,
+                    jax.__version__))
+        digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        base = os.environ.get(
+            "VLLM_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "vllm_tpu"))
+        return os.path.join(base, f"memprofile-{digest}.txt")
+
+    def _compiled_step_temp_bytes(self) -> int:
         """Lower+compile the largest step programs abstractly and read
         XLA's static temp allocation."""
         try:
