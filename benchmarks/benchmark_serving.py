@@ -3,7 +3,9 @@
 Capability parity: /root/reference/benchmarks/benchmark_serving.py —
 Poisson arrivals at --request-rate against a running api_server,
 measuring request latency, per-token latency, and per-output-token
-latency. Start the server first:
+latency. Beyond the reference (BASELINE.md row 4): requests stream, so
+time-to-first-token is measured per request and reported as
+p50/p90/p99 alongside latency percentiles. Start the server first:
     python -m vllm_tpu.entrypoints.api_server --model <model> ...
 """
 
@@ -17,7 +19,8 @@ from typing import AsyncGenerator, List, Tuple
 import aiohttp
 import numpy as np
 
-REQUEST_LATENCY: List[Tuple[int, int, float]] = []
+# (prompt_len, output_len, ttft_seconds, total_latency_seconds)
+REQUEST_LATENCY: List[Tuple[int, int, float, float]] = []
 
 
 def sample_requests(args, tokenizer=None) -> List[Tuple[str, int, int]]:
@@ -71,18 +74,25 @@ async def send_request(api_url: str, prompt: str, prompt_len: int,
         "top_p": 1.0,
         "max_tokens": output_len,
         "ignore_eos": True,
-        "stream": False,
+        # Stream so the first NUL-delimited chunk timestamps TTFT.
+        "stream": True,
     }
     timeout = aiohttp.ClientTimeout(total=3 * 3600)
+    ttft = None
     async with aiohttp.ClientSession(timeout=timeout) as session:
         while True:
+            ok = True
             async with session.post(api_url, json=pload) as response:
-                chunks = [chunk async for chunk, _ in response.content.iter_chunks()]
-            output = json.loads(b"".join(chunks))
-            if "error" not in output:
+                async for chunk, _ in response.content.iter_chunks():
+                    if ttft is None:
+                        ttft = time.perf_counter() - request_start_time
+                    if b'"error"' in chunk:
+                        ok = False
+            if ok:
                 break
+            ttft = None
     request_latency = time.perf_counter() - request_start_time
-    REQUEST_LATENCY.append((prompt_len, output_len, request_latency))
+    REQUEST_LATENCY.append((prompt_len, output_len, ttft, request_latency))
 
 
 async def benchmark(api_url: str, input_requests, best_of: int,
@@ -113,14 +123,21 @@ def main(args: argparse.Namespace):
     print(f"Total time: {benchmark_time:.2f} s")
     print(f"Throughput: {args.num_prompts / benchmark_time:.2f} requests/s")
 
-    avg_latency = np.mean([lat for _, _, lat in REQUEST_LATENCY])
-    print(f"Average latency: {avg_latency:.2f} s")
+    lats = np.array([lat for _, _, _, lat in REQUEST_LATENCY])
+    ttfts = np.array([t for _, _, t, _ in REQUEST_LATENCY])
+    print(f"Average latency: {lats.mean():.2f} s")
+    print(f"Latency p50/p90/p99: {np.percentile(lats, 50):.2f} / "
+          f"{np.percentile(lats, 90):.2f} / "
+          f"{np.percentile(lats, 99):.2f} s")
+    print(f"TTFT p50/p90/p99: {np.percentile(ttfts, 50):.3f} / "
+          f"{np.percentile(ttfts, 90):.3f} / "
+          f"{np.percentile(ttfts, 99):.3f} s")
     avg_per_token_latency = np.mean([
-        lat / (plen + olen) for plen, olen, lat in REQUEST_LATENCY
+        lat / (plen + olen) for plen, olen, _, lat in REQUEST_LATENCY
     ])
     print(f"Average latency per token: {avg_per_token_latency:.2f} s")
     avg_per_output_token_latency = np.mean(
-        [lat / olen for _, olen, lat in REQUEST_LATENCY])
+        [lat / olen for _, olen, _, lat in REQUEST_LATENCY])
     print("Average latency per output token: "
           f"{avg_per_output_token_latency:.2f} s")
 

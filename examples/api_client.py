@@ -1,73 +1,85 @@
-"""HTTP client for the simple API server.
+"""Minimal client for the engine's simple REST API.
 
-Capability parity: /root/reference/examples/api_client.py — POST
-/generate with and without streaming (NUL-delimited JSON chunks).
-Start the server first:
+Wire protocol (see vllm_tpu/entrypoints/api_server.py):
+  POST /generate  body: JSON with "prompt", sampling parameters, and
+  "stream". Non-streaming responses are one JSON object
+  {"text": [...]}; streaming responses are a sequence of JSON objects
+  separated by NUL bytes, each carrying the full text so far.
+
+Uses only the standard library. Start a server first:
     python -m vllm_tpu.entrypoints.api_server --model <model>
 """
 
 import argparse
 import json
-from typing import Iterable, List
-
-import requests
+import urllib.request
 
 
-def clear_line(n: int = 1) -> None:
-    LINE_UP = "\033[1A"
-    LINE_CLEAR = "\x1b[2K"
-    for _ in range(n):
-        print(LINE_UP, end=LINE_CLEAR, flush=True)
+def _request(api_url: str, payload: dict):
+    data = json.dumps(payload).encode()
+    req = urllib.request.Request(api_url, data=data,
+                                 headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req)
 
 
-def post_http_request(prompt: str, api_url: str, n: int = 1,
-                      stream: bool = False) -> requests.Response:
-    headers = {"User-Agent": "Test Client"}
-    pload = {
-        "prompt": prompt,
-        "n": n,
-        "use_beam_search": n > 1,
-        "temperature": 0.0,
-        "max_tokens": 16,
-        "stream": stream,
-    }
-    if n > 1:
-        pload["best_of"] = n
-    return requests.post(api_url, headers=headers, json=pload, stream=stream)
+def generate(api_url: str, payload: dict) -> list:
+    """Blocking call; returns the completed texts."""
+    with _request(api_url, {**payload, "stream": False}) as resp:
+        return json.loads(resp.read())["text"]
 
 
-def get_streaming_response(response: requests.Response) -> Iterable[List[str]]:
-    for chunk in response.iter_lines(chunk_size=8192, delimiter=b"\0"):
-        if chunk:
-            data = json.loads(chunk.decode("utf-8"))
-            yield data["text"]
+def generate_stream(api_url: str, payload: dict):
+    """Yields the candidate texts each time the server emits a chunk."""
+    buf = b""
+    with _request(api_url, {**payload, "stream": True}) as resp:
+        while True:
+            block = resp.read(4096)
+            if not block:
+                break
+            buf += block
+            while b"\0" in buf:
+                chunk, buf = buf.split(b"\0", 1)
+                if chunk:
+                    yield json.loads(chunk)["text"]
 
 
-def get_response(response: requests.Response) -> List[str]:
-    return json.loads(response.content)["text"]
-
-
-if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--host", type=str, default="localhost")
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--host", default="localhost")
     parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--n", type=int, default=1)
-    parser.add_argument("--prompt", type=str, default="San Francisco is a")
+    parser.add_argument("--prompt", default="The capital of France is")
+    parser.add_argument("--n", type=int, default=1,
+                        help="number of completions (n > 1 uses beam search)")
+    parser.add_argument("--max-tokens", type=int, default=16)
+    parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--stream", action="store_true")
     args = parser.parse_args()
 
     api_url = f"http://{args.host}:{args.port}/generate"
-    print(f"Prompt: {args.prompt!r}\n", flush=True)
-    response = post_http_request(args.prompt, api_url, args.n, args.stream)
+    payload = {
+        "prompt": args.prompt,
+        "n": args.n,
+        "best_of": args.n if args.n > 1 else None,
+        "use_beam_search": args.n > 1,
+        "temperature": args.temperature,
+        "max_tokens": args.max_tokens,
+    }
+    payload = {k: v for k, v in payload.items() if v is not None}
 
+    print(f"prompt: {args.prompt!r}")
     if args.stream:
-        num_printed_lines = 0
-        for h in get_streaming_response(response):
-            clear_line(num_printed_lines)
-            num_printed_lines = 0
-            for i, line in enumerate(h):
-                num_printed_lines += 1
-                print(f"Beam candidate {i}: {line!r}", flush=True)
+        shown = 0
+        for texts in generate_stream(api_url, payload):
+            # Print only what's new on candidate 0; show the rest at
+            # the end.
+            new = texts[0][shown:]
+            shown = len(texts[0])
+            print(new, end="", flush=True)
+        print()
     else:
-        for i, line in enumerate(get_response(response)):
-            print(f"Beam candidate {i}: {line!r}", flush=True)
+        for i, text in enumerate(generate(api_url, payload)):
+            print(f"[{i}] {text!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -271,3 +271,56 @@ def test_multi_step_preemption(checkpoint):
     for prompt, out in zip(prompts, outs):
         expected = hf_greedy(hf_model, tok.encode(prompt), 10)
         assert out.outputs[0].token_ids == expected, prompt
+
+
+def test_mixed_beam_and_greedy_chunked(checkpoint):
+    """A beam group in the serving mix must NOT collapse greedy rows'
+    multi-step chunks (beam runs its own single-step program beside the
+    chunk): greedy output stays exact while beam output stays valid."""
+    _, hf_model = checkpoint
+    llm = make_llm(checkpoint, num_decode_steps=4)
+    greedy = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    beam = SamplingParams(use_beam_search=True, best_of=2, n=1,
+                          temperature=0.0, max_tokens=8, ignore_eos=True)
+    tok = MockTokenizer(VOCAB)
+    llm.llm_engine.add_request("g", None, greedy,
+                               prompt_token_ids=tok.encode("hello tpu"))
+    llm.llm_engine.add_request("b", None, beam,
+                               prompt_token_ids=tok.encode("beam beam"))
+    outs = {}
+    saw_multi_step = False
+    while llm.llm_engine.has_unfinished_requests():
+        for out in llm.llm_engine.step():
+            if out.finished:
+                outs[out.request_id] = out
+        # Beam emits 1 token/iteration, greedy up to 4: lengths diverge.
+        groups = (llm.llm_engine.scheduler.running)
+        lens = {g.request_id: g.get_seqs()[0].get_output_len()
+                for g in groups}
+        if lens.get("g", 0) > lens.get("b", 0):
+            saw_multi_step = True
+    assert saw_multi_step, "greedy rows did not out-pace the beam group"
+    expected = hf_greedy(hf_model, tok.encode("hello tpu"), 8)
+    assert outs["g"].outputs[0].token_ids == expected
+    assert len(outs["b"].outputs[0].token_ids) == 8
+
+
+def test_penalties_chunked_matches_single_step(checkpoint):
+    """Presence/frequency penalties ride the on-device count state, so
+    chunked decode must produce exactly the single-step results."""
+    params = SamplingParams(temperature=0.0, max_tokens=10,
+                            presence_penalty=1.5, frequency_penalty=0.7,
+                            ignore_eos=True)
+    outs = {}
+    for steps in (1, 4):
+        llm = make_llm(checkpoint, num_decode_steps=steps)
+        [out] = llm.generate("pen pen pen", params, use_tqdm=False)
+        outs[steps] = out.outputs[0].token_ids
+    assert outs[1] == outs[4]
+    # And the penalty must actually bite: an unpenalized run differs.
+    llm = make_llm(checkpoint, num_decode_steps=4)
+    [plain] = llm.generate(
+        "pen pen pen",
+        SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True),
+        use_tqdm=False)
+    assert plain.outputs[0].token_ids != outs[4]

@@ -51,7 +51,7 @@ def test_prefill_then_decode():
     sched.add_seq_group(make_seq_group("b", prompt_len=5, block_size=BLOCK))
 
     metadata, outputs = sched.schedule()
-    assert outputs.kind == StepKind.PREFILL
+    assert outputs.kind == StepKind.MIXED
     assert [m.request_id for m in metadata] == ["a", "b"]
     assert all(m.is_prompt for m in metadata)
     assert outputs.num_batched_tokens == 11
@@ -63,17 +63,41 @@ def test_prefill_then_decode():
     assert outputs.num_batched_tokens == 2  # one token per running seq
 
 
+def test_mixed_step_decodes_while_admitting():
+    """Running sequences keep decoding in the same step that admits a
+    new prompt (the reference's mixed prompt+generation batch,
+    worker.py:128-237)."""
+    sched = make_scheduler()
+    sched.add_seq_group(make_seq_group("a", prompt_len=6, block_size=BLOCK))
+    metadata, outputs = sched.schedule()
+    assert outputs.kind == StepKind.MIXED
+    sched.update(greedy_outputs(metadata))
+
+    sched.add_seq_group(make_seq_group("b", prompt_len=5, block_size=BLOCK))
+    metadata, outputs = sched.schedule()
+    assert outputs.kind == StepKind.MIXED
+    by_id = {m.request_id: m for m in metadata}
+    assert by_id["b"].is_prompt and not by_id["a"].is_prompt
+    # 5 prompt tokens + 1 decode token.
+    assert outputs.num_batched_tokens == 6
+    assert outputs.num_decode_steps == 1
+    sched.update(greedy_outputs(metadata))
+    assert [s.get_output_len() for g in sched.running
+            for s in g.get_seqs()] == [2, 1]
+
+
 def test_token_budget_caps_prefill():
     sched = make_scheduler(max_num_batched_tokens=8)
     sched.add_seq_group(make_seq_group("a", prompt_len=6, block_size=BLOCK))
     sched.add_seq_group(make_seq_group("b", prompt_len=6, block_size=BLOCK))
     metadata, outputs = sched.schedule()
     assert [m.request_id for m in metadata] == ["a"]
-    # b is admitted by the next prefill step.
+    # b is admitted by the next step's prefill part, while a decodes.
     sched.update(greedy_outputs(metadata))
     metadata, outputs = sched.schedule()
-    assert outputs.kind == StepKind.PREFILL
-    assert [m.request_id for m in metadata] == ["b"]
+    assert outputs.kind == StepKind.MIXED
+    assert [m.request_id for m in metadata if m.is_prompt] == ["b"]
+    assert [m.request_id for m in metadata if not m.is_prompt] == ["a"]
 
 
 def test_max_prefill_seqs_caps_batch():
@@ -198,3 +222,45 @@ def test_abort_releases_blocks():
     assert not sched.has_unfinished_seqs()
     assert sched.block_manager.get_num_free_device_blocks() == 16
     assert g.get_seqs()[0].status == SequenceStatus.FINISHED_ABORTED
+
+
+def test_admission_hysteresis_defers_small_refills():
+    """With a nearly full fleet, a single freed slot does not trigger a
+    (mostly padded) prefill: admission waits for admit_min_free_slots,
+    letting decode run full multi-step chunks in between."""
+    sched = make_scheduler(max_num_seqs=8, num_device_blocks=64)
+    sched.scheduler_config.num_decode_steps = 4
+    sched.scheduler_config.admit_min_free_slots = 4
+    sched.scheduler_config.max_admit_delay_s = 1e9  # disable TTFT guard
+    sched.scheduler_config.admit_fill_frac = 0.9
+
+    for i in range(8):
+        sched.add_seq_group(
+            make_seq_group(f"r{i}", prompt_len=4, block_size=BLOCK))
+    step(sched)  # admits as slots allow (fleet empty -> immediate)
+    while sched.waiting:
+        step(sched)
+    assert len(sched.running) == 8
+
+    # One more prompt arrives; only 0 slots free -> defer.
+    sched.add_seq_group(make_seq_group("late", prompt_len=4,
+                                       block_size=BLOCK))
+    # Finish ONE group: 1 free slot < admit_min_free_slots -> DECODE
+    # chunk, not admission.
+    g = sched.running[0]
+    for s in g.get_seqs():
+        sched.free_seq(s, SequenceStatus.FINISHED_STOPPED)
+    sched.free_finished_seq_groups()
+    metadata, outputs = sched.schedule()
+    assert outputs.kind == StepKind.DECODE
+    assert outputs.num_decode_steps == 4
+    sched.update(greedy_outputs(metadata))
+
+    # Finish three more: 4 free slots -> admission fires (MIXED).
+    for g in list(sched.running[:3]):
+        for s in g.get_seqs():
+            sched.free_seq(s, SequenceStatus.FINISHED_STOPPED)
+    sched.free_finished_seq_groups()
+    metadata, outputs = sched.schedule()
+    assert outputs.kind == StepKind.MIXED
+    assert [m.request_id for m in metadata if m.is_prompt] == ["late"]

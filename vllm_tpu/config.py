@@ -236,6 +236,9 @@ class SchedulerConfig:
         decode_batch_buckets: Optional[List[int]] = None,
         max_prefill_seqs: int = 16,
         num_decode_steps: int = 1,
+        admit_min_free_slots: Optional[int] = None,
+        admit_fill_frac: float = 0.85,
+        max_admit_delay_s: float = 0.3,
     ) -> None:
         self.max_num_batched_tokens = max_num_batched_tokens
         self.max_num_seqs = max_num_seqs
@@ -260,6 +263,20 @@ class SchedulerConfig:
         # Max prompts packed into one prefill program (sizes the
         # per-sequence metadata arrays of the prefill batch).
         self.max_prefill_seqs = max_prefill_seqs
+        # Admission hysteresis: a prefill program costs the same
+        # whether it packs 1 prompt or a full bucket, so admitting on
+        # every freed sequence slot runs mostly-padded prefills AND
+        # robs the decode fleet of its multi-step chunks. Defer
+        # admission until the admissible prompts can fill
+        # ``admit_fill_frac`` of the largest token bucket, OR at least
+        # ``admit_min_free_slots`` sequence slots are free, OR the
+        # head prompt has waited ``max_admit_delay_s`` (TTFT guard) —
+        # an empty fleet always admits immediately.
+        if admit_min_free_slots is None:
+            admit_min_free_slots = max(1, max_num_seqs // 8)
+        self.admit_min_free_slots = admit_min_free_slots
+        self.admit_fill_frac = admit_fill_frac
+        self.max_admit_delay_s = max_admit_delay_s
 
     def block_table_buckets(self, block_size: int) -> List[int]:
         """Bucket ladder for blocks-per-sequence in decode block tables."""

@@ -47,7 +47,12 @@ class PreemptionMode(enum.Enum):
 
 
 class StepKind(enum.Enum):
-    PREFILL = enum.auto()
+    # MIXED: newly admitted prompts packed into the prefill part of the
+    # fused program, with every already-running sequence decoding one
+    # token in the same program (the decode part may be empty at
+    # startup). DECODE: no admission this step; running sequences decode
+    # a multi-step chunk.
+    MIXED = enum.auto()
     DECODE = enum.auto()
     EMPTY = enum.auto()
 
@@ -117,6 +122,7 @@ class Scheduler:
         self._last_scheduled: List[SequenceGroup] = []
 
         self._last_logging_time = 0.0
+        self._last_admit_time = 0.0
         self._token_history: List[Tuple[float, int]] = []
 
     # -- request lifecycle ---------------------------------------------------
@@ -155,10 +161,10 @@ class Scheduler:
     ) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
         """Decide this step's batch; mutates queue/block state."""
         outputs, scheduled_groups = self._schedule()
-        self._last_scheduled = scheduled_groups
+        self._last_scheduled = [g for g, _ in scheduled_groups]
 
         metadata_list: List[SequenceGroupMetadata] = []
-        for seq_group in scheduled_groups:
+        for seq_group, is_prompt in scheduled_groups:
             seq_data: Dict[int, SequenceData] = {}
             block_tables: Dict[int, List[int]] = {}
             for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
@@ -168,7 +174,7 @@ class Scheduler:
             metadata_list.append(
                 SequenceGroupMetadata(
                     request_id=seq_group.request_id,
-                    is_prompt=outputs.kind == StepKind.PREFILL,
+                    is_prompt=is_prompt,
                     seq_data=seq_data,
                     sampling_params=seq_group.sampling_params,
                     block_tables=block_tables,
@@ -176,52 +182,148 @@ class Scheduler:
         self._maybe_log_stats(outputs)
         return metadata_list, outputs
 
-    def _schedule(self) -> Tuple[SchedulerOutputs, List[SequenceGroup]]:
-        now = time.time()
+    def _schedule(
+        self
+    ) -> Tuple[SchedulerOutputs, List[Tuple[SequenceGroup, bool]]]:
+        """One iteration's plan. Decode slots are reserved for every
+        running sequence FIRST (possibly preempting); waiting prompts
+        are then admitted into the same step's prefill part (a MIXED
+        step) — running sequences never stall behind prompt admission,
+        matching the reference's mixed prompt+generation batches
+        (worker.py:128-237) in bucketed form.
 
-        # Swapped groups take strict priority over waiting prompts (to
-        # bound host swap-space residency), so prompt admission is only
-        # attempted when nothing is swapped out.
+        Swapped groups take strict priority over waiting prompts (to
+        bound host swap-space residency), so admission is only
+        attempted when nothing is swapped out, and skipped when this
+        step preempted (blocks are scarce).
+        """
+        now = time.time()
         ignored: List[SequenceGroup] = []
-        if not self.swapped:
-            prefill = self._schedule_prefill(now, ignored)
-            if prefill is not None:
-                return prefill
-        outputs, scheduled = self._schedule_decode(now)
-        outputs.ignored_seq_groups.extend(ignored)
+
+        # Probe admission up front: a prefill this step forces the
+        # decode part to a single step (one fused program), so only
+        # give up the multi-step chunk when the head prompt will
+        # actually be admitted — and admission itself is hysteretic
+        # (see SchedulerConfig.admit_min_free_slots).
+        want_prefill = not self.swapped and self._should_admit(now, ignored)
+        num_steps = 1 if want_prefill else self._decode_chunk_steps()
+
+        (blocks_to_swap_in, blocks_to_swap_out, blocks_to_copy,
+         decode_groups, preempted) = self._schedule_decode(now, num_steps)
+
+        admitted: List[SequenceGroup] = []
+        num_prompt_tokens = 0
+        if want_prefill and not preempted:
+            admitted, num_prompt_tokens = self._admit_prompts(ignored)
+
+        if admitted:
+            kind = StepKind.MIXED
+        elif decode_groups:
+            kind = StepKind.DECODE
+        else:
+            kind = StepKind.EMPTY
+        outputs = SchedulerOutputs(
+            kind=kind,
+            blocks_to_swap_in=blocks_to_swap_in,
+            blocks_to_swap_out=blocks_to_swap_out,
+            blocks_to_copy=blocks_to_copy,
+            num_batched_tokens=(num_prompt_tokens + sum(
+                g.num_seqs(status=SequenceStatus.RUNNING) *
+                self._group_steps(g, num_steps) for g in decode_groups)),
+            ignored_seq_groups=ignored,
+            num_decode_steps=num_steps,
+        )
+        scheduled = ([(g, True) for g in admitted] +
+                     [(g, False) for g in decode_groups])
         return outputs, scheduled
 
-    def _schedule_prefill(
-        self, now: float, ignored: List[SequenceGroup]
-    ) -> Optional[Tuple[SchedulerOutputs, List[SequenceGroup]]]:
-        """Admit waiting prompts into one packed prefill batch, or
-        return None if nothing can be admitted this step. Over-long
-        prompts are finished as IGNORED and appended to ``ignored``."""
+    def _max_prompt_len(self) -> int:
         cfg = self.scheduler_config
-        max_prompt_len = min(cfg.max_model_len, cfg.max_num_batched_tokens)
+        return min(cfg.max_model_len, cfg.max_num_batched_tokens)
 
+    def _drop_overlong_head(self, ignored: List[SequenceGroup]) -> None:
+        """Finish never-schedulable prompts at the queue head as
+        IGNORED instead of wedging FCFS admission forever."""
+        max_prompt_len = self._max_prompt_len()
+        while self.waiting:
+            seq_group = self.waiting[0]
+            prompt_len = seq_group.get_seqs()[0].get_len()
+            if prompt_len <= max_prompt_len:
+                return
+            logger.warning(
+                "Prompt of request %s (%d tokens) exceeds the limit "
+                "of %d tokens; ignoring.", seq_group.request_id,
+                prompt_len, max_prompt_len)
+            for seq in seq_group.get_seqs():
+                seq.status = SequenceStatus.FINISHED_IGNORED
+            ignored.append(seq_group)
+            self.waiting.popleft()
+
+    def _should_admit(self, now: float,
+                      ignored: List[SequenceGroup]) -> bool:
+        """Admit this iteration? First a cheap head-of-queue
+        admissibility check (_admit_prompts re-validates after decode
+        scheduling has reserved its slots), then the hysteresis policy:
+        prefill programs cost the same padded or full, so wait until
+        the admissible prompts make a reasonably full batch — unless
+        the fleet is empty/shrunken or the head prompt has waited too
+        long (TTFT guard)."""
+        cfg = self.scheduler_config
+        self._drop_overlong_head(ignored)
+        if not self.waiting:
+            return False
+        seq_group = self.waiting[0]
+        num_curr_seqs = sum(
+            g.num_seqs(status=SequenceStatus.RUNNING) for g in self.running)
+        num_new_seqs = seq_group.num_seqs(status=SequenceStatus.WAITING)
+        if num_curr_seqs + num_new_seqs > cfg.max_num_seqs:
+            return False
+        if not self.block_manager.can_allocate(seq_group):
+            return False
+
+        if not self.running:
+            return True
+        free_slots = cfg.max_num_seqs - num_curr_seqs
+        if free_slots >= cfg.admit_min_free_slots:
+            return True
+        # TTFT guard, rate-limited: the head never waits more than
+        # max_admit_delay_s past the previous admission (plain
+        # arrival-time aging would defeat the hysteresis whenever a
+        # backlog of same-arrival requests drains, e.g. offline runs).
+        if (now - max(seq_group.arrival_time, self._last_admit_time)
+                > cfg.max_admit_delay_s):
+            return True
+        # Tokens admissible right now (bounded by free slots and the
+        # batch budget): enough to fill the largest prefill bucket?
+        target = cfg.admit_fill_frac * cfg.prefill_token_buckets[-1]
+        tokens = 0
+        slots = free_slots
+        for group in self.waiting:
+            if slots <= 0 or tokens >= target:
+                break
+            prompt_len = group.get_seqs()[0].get_len()
+            if tokens + prompt_len > cfg.max_num_batched_tokens:
+                break
+            tokens += prompt_len
+            slots -= group.num_seqs(status=SequenceStatus.WAITING)
+        return tokens >= target
+
+    def _admit_prompts(
+            self,
+            ignored: List[SequenceGroup]) -> Tuple[List[SequenceGroup], int]:
+        """Admit waiting prompts into this step's packed prefill part."""
+        cfg = self.scheduler_config
         admitted: List[SequenceGroup] = []
         num_tokens = 0
         num_curr_seqs = sum(
             g.num_seqs(status=SequenceStatus.RUNNING) for g in self.running)
 
         while self.waiting:
+            self._drop_overlong_head(ignored)
+            if not self.waiting:
+                break
             seq_group = self.waiting[0]
             prompt_len = seq_group.get_seqs()[0].get_len()
-
-            if prompt_len > max_prompt_len:
-                # Can never be scheduled: finish as ignored instead of
-                # wedging the head of the FCFS queue forever.
-                logger.warning(
-                    "Prompt of request %s (%d tokens) exceeds the limit "
-                    "of %d tokens; ignoring.", seq_group.request_id,
-                    prompt_len, max_prompt_len)
-                for seq in seq_group.get_seqs():
-                    seq.status = SequenceStatus.FINISHED_IGNORED
-                ignored.append(seq_group)
-                self.waiting.popleft()
-                continue
-
             if num_tokens + prompt_len > cfg.max_num_batched_tokens:
                 break
             if len(admitted) + 1 > cfg.max_prefill_seqs:
@@ -240,19 +342,9 @@ class Scheduler:
             admitted.append(seq_group)
             num_tokens += prompt_len
             num_curr_seqs += num_new_seqs
-
-        if not admitted:
-            return None
-        outputs = SchedulerOutputs(
-            kind=StepKind.PREFILL,
-            blocks_to_swap_in={},
-            blocks_to_swap_out={},
-            blocks_to_copy={},
-            num_batched_tokens=num_tokens,
-            ignored_seq_groups=list(ignored),
-        )
-        ignored.clear()
-        return outputs, admitted
+        if admitted:
+            self._last_admit_time = time.time()
+        return admitted, num_tokens
 
     def _decode_chunk_steps(self) -> int:
         """How many decode steps this iteration fuses on device.
@@ -263,38 +355,49 @@ class Scheduler:
         mid-serving. Sequences that hit max_tokens/EOS/stop inside a
         chunk simply discard the remaining speculative tokens (bounded
         waste: < num_decode_steps tokens per sequence, once).
-        Collapsed to 1 when any group needs per-token host bookkeeping
-        (beam forks) or per-token penalty state. Swapped groups may
-        rejoin this very iteration, so they join the scan."""
+
+        Penalty requests chunk like everything else (the [B, V] count
+        state rides the on-device scan carry). Beam groups can't chunk
+        (host fork selection every token) but don't collapse anyone
+        else's chunk: the worker runs them as a separate single-step
+        program in the same iteration — only when EVERY group is beam
+        does the chunk collapse to 1. Swapped groups may rejoin this
+        very iteration, so they count too."""
         max_steps = self.scheduler_config.num_decode_steps
         if max_steps <= 1:
             return 1
         for group in list(self.running) + list(self.swapped):
-            p = group.sampling_params
-            if (p.use_beam_search or p.presence_penalty != 0
-                    or p.frequency_penalty != 0):
-                return 1
-        return max_steps
+            if not group.sampling_params.use_beam_search:
+                return max_steps
+        return 1
+
+    @staticmethod
+    def _group_steps(seq_group: SequenceGroup, num_steps: int) -> int:
+        """Decode steps THIS group advances this iteration (beam groups
+        run single-step beside the chunked program)."""
+        return 1 if seq_group.sampling_params.use_beam_search else num_steps
 
     def _schedule_decode(
-        self, now: float
-    ) -> Tuple[SchedulerOutputs, List[SequenceGroup]]:
+        self, now: float, num_steps: int
+    ) -> Tuple[Dict[int, int], Dict[int, int], Dict[int, List[int]],
+               List[SequenceGroup], List[SequenceGroup]]:
         """Reserve KV slots per running sequence (preempting if out of
-        blocks), then swap groups back in if room remains."""
+        blocks), then swap groups back in if room remains. Returns
+        (swap_in, swap_out, copy, decode_groups, preempted)."""
         blocks_to_swap_in: Dict[int, int] = {}
         blocks_to_swap_out: Dict[int, int] = {}
         blocks_to_copy: Dict[int, List[int]] = {}
 
         self.running = self.policy.sort_by_priority(now, self.running)
-        num_steps = self._decode_chunk_steps()
 
         running: List[SequenceGroup] = []
         preempted: List[SequenceGroup] = []
         queue = deque(self.running)
         while queue:
             seq_group = queue.popleft()
+            group_steps = self._group_steps(seq_group, num_steps)
             while not self.block_manager.can_append_slot(seq_group,
-                                                         num_steps):
+                                                         group_steps):
                 if queue:
                     # Evict the lowest-priority group.
                     victim = queue.pop()
@@ -306,7 +409,7 @@ class Scheduler:
                     preempted.append(seq_group)
                     break
             else:
-                self._append_slot(seq_group, blocks_to_copy, num_steps)
+                self._append_slot(seq_group, blocks_to_copy, group_steps)
                 running.append(seq_group)
         self.running = running
 
@@ -333,20 +436,12 @@ class Scheduler:
             blocks_to_swap_in.update(mapping)
             for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
                 seq.status = SequenceStatus.RUNNING
-            self._append_slot(seq_group, blocks_to_copy, num_steps)
+            self._append_slot(seq_group, blocks_to_copy,
+                              self._group_steps(seq_group, num_steps))
             self.running.append(seq_group)
 
-        num_batched_tokens = sum(
-            g.num_seqs(status=SequenceStatus.RUNNING) for g in self.running)
-        outputs = SchedulerOutputs(
-            kind=StepKind.DECODE if self.running else StepKind.EMPTY,
-            blocks_to_swap_in=blocks_to_swap_in,
-            blocks_to_swap_out=blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy,
-            num_batched_tokens=num_batched_tokens * num_steps,
-            num_decode_steps=num_steps,
-        )
-        return outputs, list(self.running)
+        return (blocks_to_swap_in, blocks_to_swap_out, blocks_to_copy,
+                list(self.running), preempted)
 
     # -- post-step state update ------------------------------------------------
 
@@ -356,11 +451,17 @@ class Scheduler:
     ) -> List[SequenceGroup]:
         """Apply one step's sampled tokens; handle beam forks.
 
-        Only the groups scheduled by the latest ``schedule()`` call are
-        updated (and returned) — in a prefill step that is just the
-        newly admitted groups.
+        Only groups whose sequences appear in ``seq_outputs`` are
+        updated (and returned): a decode chunk's later token sets don't
+        cover beam groups (they run single-step beside the chunk), and
+        a mixed step's outputs cover prompt + decode groups at once.
         """
+        updated: List[SequenceGroup] = []
         for seq_group in self._last_scheduled:
+            if not any(seq.seq_id in seq_outputs for seq in
+                       seq_group.get_seqs(status=SequenceStatus.RUNNING)):
+                continue
+            updated.append(seq_group)
             # Beam-search forks first: a slot whose sampled continuation
             # came from a different parent rebinds to the parent's
             # blocks (copy-on-write deferred to the next append_slot).
@@ -375,7 +476,7 @@ class Scheduler:
             for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
                 output = seq_outputs[seq.seq_id]
                 seq.append_token_id(output.output_token, output.logprobs)
-        return self._last_scheduled.copy()
+        return updated
 
     # -- preemption helpers ------------------------------------------------
 

@@ -40,6 +40,8 @@ class EngineArgs:
     max_num_seqs: int = 256
     max_prefill_seqs: int = 16
     num_decode_steps: int = 1
+    admit_min_free_slots: Optional[int] = None
+    max_admit_delay_s: float = 0.3
     num_device_blocks_override: Optional[int] = None
     disable_log_stats: bool = False
     # Compile every bucketed step program at startup instead of on
@@ -100,6 +102,13 @@ class EngineArgs:
         parser.add_argument("--num-decode-steps", type=int, default=1,
                             help="decode steps fused per device program "
                             "(tokens feed back on device)")
+        parser.add_argument("--admit-min-free-slots", type=int, default=None,
+                            help="admission hysteresis: defer prompt "
+                            "admission until this many sequence slots are "
+                            "free (default max_num_seqs/8)")
+        parser.add_argument("--max-admit-delay-s", type=float, default=0.3,
+                            help="TTFT guard: max seconds a head-of-queue "
+                            "prompt waits past the previous admission")
         parser.add_argument("--num-device-blocks-override", type=int,
                             default=None)
         parser.add_argument("--disable-log-stats", action="store_true")
@@ -150,6 +159,8 @@ class EngineArgs:
             max_model_len=model_config.max_model_len,
             max_prefill_seqs=self.max_prefill_seqs,
             num_decode_steps=self.num_decode_steps,
+            admit_min_free_slots=self.admit_min_free_slots,
+            max_admit_delay_s=self.max_admit_delay_s,
             prefill_token_buckets=self.prefill_token_buckets,
             decode_batch_buckets=self.decode_batch_buckets,
         )

@@ -170,19 +170,20 @@ class LLMEngine:
         # A decode chunk carries num_decode_steps token sets; apply them
         # in order, re-checking stop conditions between sets so finished
         # sequences ignore their remaining (speculatively computed)
-        # tokens.
-        scheduled_groups: List[Any] = []
+        # tokens. Beam groups only appear in the first set (they run
+        # single-step beside the chunk), so collect the union of
+        # updated groups across sets.
+        seen_groups: dict = {}
         for seq_outputs in step_outputs:
-            groups = self.scheduler.update(seq_outputs)
-            for seq_group in groups:
+            for seq_group in self.scheduler.update(seq_outputs):
                 self._decode_sequences(seq_group)
                 self._stop_sequences(seq_group)
-            scheduled_groups = groups
+                seen_groups[id(seq_group)] = seq_group
         self.scheduler.free_finished_seq_groups()
 
         request_outputs = [
             RequestOutput.from_seq_group(g)
-            for g in scheduled_groups + sched_out.ignored_seq_groups
+            for g in list(seen_groups.values()) + sched_out.ignored_seq_groups
         ]
         return request_outputs
 

@@ -49,6 +49,32 @@ class DecodeBatch(NamedTuple):
     context_lens: jnp.ndarray  # [B] i32, 0 = padding row
 
 
+class MixedBatch(NamedTuple):
+    """A packed prefill batch and a decode batch fused into ONE
+    program: tokens concatenate ([T prefill | B decode]) so the
+    matmuls run over T+B rows — decode tokens ride the prefill's
+    weight reads nearly free, and running sequences never stall behind
+    prompt admission. This is the reference's mixed prompt+generation
+    batch (worker.py:128-237) in bucketed, static-shape form.
+    """
+    prefill: PrefillBatch
+    decode: DecodeBatch
+
+    @property
+    def num_prefill_tokens(self) -> int:
+        return self.prefill.token_ids.shape[0]
+
+    @property
+    def token_ids(self) -> jnp.ndarray:
+        return jnp.concatenate(
+            [self.prefill.token_ids, self.decode.token_ids])
+
+    @property
+    def positions(self) -> jnp.ndarray:
+        return jnp.concatenate(
+            [self.prefill.positions, self.decode.positions])
+
+
 def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ w (+ b). Weights stored [in, out] (transposed from torch);
     w may be a weight-only-INT8 QuantizedLinear."""
@@ -74,9 +100,26 @@ def attend(
 
     q: [T, H, D]; k/v: [T, KVH, D]. Prefill attends within the packed
     batch (fresh prompts have no prior context); decode reads the
-    paged cache, which now includes the token written this step.
+    paged cache, which now includes the token written this step. A
+    MixedBatch does both over its concatenated token axis (the
+    prefilling and decoding sequences are disjoint, so write order
+    between the parts is irrelevant).
     Returns ([T, H, D], new kv_cache).
     """
+    if isinstance(batch, MixedBatch):
+        T = batch.num_prefill_tokens
+        kp, vp = k[:T], v[:T]
+        kv_cache = write_kv_pages(kv_cache, layer_idx, kp, vp,
+                                  batch.prefill.page_src,
+                                  batch.prefill.page_dst)
+        kv_cache = write_kv(kv_cache, layer_idx, k[T:], v[T:],
+                            batch.decode.slot_mapping)
+        out_p = prefill_attention(q[:T], kp, vp, batch.prefill.seq_ids,
+                                  scale)
+        out_d = paged_decode_attention(q[T:], kv_cache, layer_idx,
+                                       batch.decode.block_tables,
+                                       batch.decode.context_lens, scale)
+        return jnp.concatenate([out_p, out_d]), kv_cache
     if isinstance(batch, PrefillBatch) and batch.page_src is not None:
         kv_cache = write_kv_pages(kv_cache, layer_idx, k, v, batch.page_src,
                                   batch.page_dst)
@@ -113,7 +156,16 @@ def maybe_quantize_shardings(model, shardings):
 
 def gather_last_hidden(hidden: jnp.ndarray, batch) -> jnp.ndarray:
     """Rows whose next token gets sampled: every row for decode, the
-    per-sequence last prompt token for prefill."""
+    per-sequence last prompt token for prefill; a mixed batch yields
+    [S prompt rows | B decode rows]."""
+    if isinstance(batch, MixedBatch):
+        T = batch.num_prefill_tokens
+        B = batch.decode.token_ids.shape[0]
+        rows = jnp.concatenate([
+            batch.prefill.logits_indices,
+            T + jnp.arange(B, dtype=jnp.int32)
+        ])
+        return hidden[rows]
     if isinstance(batch, PrefillBatch):
         return hidden[batch.logits_indices]
     return hidden

@@ -43,6 +43,25 @@ class SamplerOutput(NamedTuple):
     topk_logprobs: jnp.ndarray  # [B, K]
 
 
+def counts_from_history(output_tokens: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """[B, L] PAD_TOKEN-padded output-token history -> [B, V] f32
+    per-token counts (the penalty state). Hoisted out of ``sample`` so
+    multi-step decode chunks can build it once and carry it on device,
+    appending each sampled token."""
+    B = output_tokens.shape[0]
+    counts = jnp.zeros((B, vocab), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, output_tokens.shape, 0)
+    return counts.at[rows, output_tokens].add(1.0, mode="drop")
+
+
+def append_counts(counts: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """counts[b, tokens[b]] += 1 without a scatter (XLA TPU scatter is
+    ~6 us/row; this is one vectorized [B, V] compare+add pass)."""
+    vocab = counts.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+    return counts + (iota == tokens[:, None]).astype(counts.dtype)
+
+
 def sample(
     logits: jnp.ndarray,
     tensors: SamplingTensors,
@@ -50,6 +69,8 @@ def sample(
     num_samples: int,
     num_topk: int,
     greedy_only: bool = False,
+    use_penalties: bool = True,
+    counts: jnp.ndarray = None,
 ) -> SamplerOutput:
     """Sample tokens for every row of a [B, V] logits batch.
 
@@ -58,18 +79,21 @@ def sample(
     candidate expansion (host picks beams from topk_ids/logprobs).
     ``greedy_only`` (static) skips the full-vocab sort + categorical
     draw — at batch 64 the [B, 32000] sort alone costs ~20 ms/step on
-    TPU, and greedy rows never consume it.
+    TPU, and greedy rows never consume it. ``use_penalties`` (static)
+    skips the presence/frequency count machinery when every row's
+    penalties are zero; ``counts`` supplies pre-built penalty state
+    (multi-step chunks carry it on device).
     """
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
 
-    # Presence/frequency penalties from output-token counts (these
-    # shift the argmax too, so they stay in the greedy path).
-    counts = jnp.zeros((B, V), jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, tensors.output_tokens.shape, 0)
-    counts = counts.at[rows, tensors.output_tokens].add(1.0, mode="drop")
-    logits = logits - tensors.frequency_penalty[:, None] * counts
-    logits = logits - tensors.presence_penalty[:, None] * (counts > 0)
+    if use_penalties:
+        # Presence/frequency penalties from output-token counts (these
+        # shift the argmax too, so they stay in the greedy path).
+        if counts is None:
+            counts = counts_from_history(tensors.output_tokens, V)
+        logits = logits - tensors.frequency_penalty[:, None] * counts
+        logits = logits - tensors.presence_penalty[:, None] * (counts > 0)
 
     greedy = tensors.temperature < _SAMPLING_EPS
     temp = jnp.where(greedy, 1.0, tensors.temperature)

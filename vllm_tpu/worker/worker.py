@@ -36,12 +36,14 @@ from vllm_tpu.config import (CacheConfig, ModelConfig, ParallelConfig,
                              SchedulerConfig)
 from vllm_tpu.core.scheduler import SchedulerOutputs, StepKind
 from vllm_tpu.logger import init_logger
-from vllm_tpu.models.common import DecodeBatch, PrefillBatch
+from vllm_tpu.models.common import (DecodeBatch, MixedBatch, PrefillBatch,
+                                    gather_last_hidden)
 from vllm_tpu.models.model_loader import get_model
 from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
                                 gather_blocks, kv_cache_shape,
                                 kv_scales_shape, scatter_blocks)
-from vllm_tpu.ops.sampling import PAD_TOKEN, SamplingTensors, sample
+from vllm_tpu.ops.sampling import (PAD_TOKEN, SamplingTensors, append_counts,
+                                   counts_from_history, sample)
 from vllm_tpu.parallel.mesh import (KV_CACHE_SPEC, KV_SCALES_SPEC,
                                     build_mesh, shard_params)
 from vllm_tpu.sampling_params import SamplingParams
@@ -307,9 +309,11 @@ class TPUWorker:
                                                sharding), self.params)
             temps = []
             for fn, args in (
-                (self._make_step_fn(True, 1, 8, 16),
-                 (params_abs, kv, pre_batch, tensors(S), key)),
-                (self._make_step_fn(False, 1, 8, 16),
+                (self._make_step_fn("mixed", 1, 8, 16),
+                 (params_abs, kv, MixedBatch(pre_batch, dec_batch),
+                  tensors(S + B), key)),
+                (self._make_step_fn("decode", 1, 8, 16,
+                                    self.scheduler_config.num_decode_steps),
                  (params_abs, kv, dec_batch, tensors(B), key)),
             ):
                 mem = fn.lower(*args).compile().memory_analysis()
@@ -363,27 +367,34 @@ class TPUWorker:
     # jitted step programs
     # ------------------------------------------------------------------
 
-    def _make_step_fn(self, is_prefill: bool, num_samples: int,
+    def _make_step_fn(self, kind: str, num_samples: int,
                       num_topk: int, hist_len: int, num_steps: int = 1,
-                      greedy_only: bool = False):
-        key_sig = ("step", is_prefill, num_samples, num_topk, num_steps,
-                   greedy_only)
+                      greedy_only: bool = False,
+                      with_penalties: bool = False):
+        """kind: "mixed" (prefill part + single-step decode part fused
+        into one program) or "decode" (decode-only, optionally a
+        multi-step scan). ``with_penalties`` (static) enables the
+        presence/frequency count machinery; multi-step chunks carry the
+        [B, V] count state on device, appending each sampled token, so
+        penalty requests chunk like everything else."""
+        key_sig = ("step", kind, num_samples, num_topk, num_steps,
+                   greedy_only, with_penalties)
         if key_sig in self._fn_cache:
             return self._fn_cache[key_sig]
         model = self.model
         block_size = self.block_size
         max_model_len = self.scheduler_config.max_model_len
+        vocab = self.model_config.get_vocab_size()
 
-        if is_prefill or num_steps == 1:
+        if kind == "mixed" or num_steps == 1:
 
             def step(params, kv_cache, batch, tensors, key):
                 hidden, kv_cache = model.forward(params, batch, kv_cache)
-                if is_prefill:
-                    hidden = hidden[batch.logits_indices]
+                hidden = gather_last_hidden(hidden, batch)
                 logits = model.compute_logits(params, hidden)
                 out = sample(logits, tensors, key, num_samples, num_topk,
-                             greedy_only)
-                if not is_prefill:
+                             greedy_only, use_penalties=with_penalties)
+                if kind == "decode":
                     out = jax.tree.map(lambda x: x[None], out)  # [1, ...]
                 return kv_cache, out
         else:
@@ -395,9 +406,11 @@ class TPUWorker:
             # stop checks per chunk.
             def step(params, kv_cache, batch, tensors, key):
                 pad = batch.context_lens == 0
+                counts0 = (counts_from_history(tensors.output_tokens, vocab)
+                           if with_penalties else jnp.zeros((), jnp.float32))
 
                 def body(carry, j):
-                    kv, tok, pos = carry
+                    kv, tok, pos, counts = carry
                     block = jnp.take_along_axis(
                         batch.block_tables,
                         jnp.minimum(pos // block_size,
@@ -420,11 +433,17 @@ class TPUWorker:
                     logits = model.compute_logits(params, hidden)
                     out = sample(logits, tensors,
                                  jax.random.fold_in(key, j), num_samples,
-                                 num_topk, greedy_only)
-                    return (kv, out.samples[0], pos + 1), out
+                                 num_topk, greedy_only,
+                                 use_penalties=with_penalties,
+                                 counts=counts if with_penalties else None)
+                    newtok = out.samples[0]
+                    if with_penalties:
+                        counts = append_counts(counts, newtok)
+                    return (kv, newtok, pos + 1, counts), out
 
-                (kv_cache, _, _), outs = jax.lax.scan(
-                    body, (kv_cache, batch.token_ids, batch.positions),
+                (kv_cache, _, _, _), outs = jax.lax.scan(
+                    body,
+                    (kv_cache, batch.token_ids, batch.positions, counts0),
                     jnp.arange(num_steps))
                 return kv_cache, outs  # leaves stacked on a leading S dim
 
@@ -477,36 +496,41 @@ class TPUWorker:
                 jnp.full((n, hist0), int(PAD_TOKEN), jnp.int32))
 
         S = cfg.max_prefill_seqs
-        for T in cfg.prefill_token_buckets:
-            NP = T // self.block_size + S
-            batch = PrefillBatch(
-                token_ids=jnp.zeros((T,), jnp.int32),
-                positions=jnp.zeros((T,), jnp.int32),
-                seq_ids=jnp.full((T,), -1, jnp.int32),
-                slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
-                logits_indices=jnp.zeros((S,), jnp.int32),
-                page_src=jnp.zeros((NP,), jnp.int32),
-                page_dst=jnp.full((NP,), -1, jnp.int32),
-            )
-            fn = self._make_step_fn(True, 1, 1, hist0, greedy_only=True)
-            self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
-                                  tensors(S), key)
         MB = self._block_buckets[-1]
-        for B in cfg.decode_batch_buckets:
-            batch = DecodeBatch(
+        Btop = cfg.decode_batch_buckets[-1]
+
+        def pad_decode(B):
+            return DecodeBatch(
                 token_ids=jnp.zeros((B,), jnp.int32),
                 positions=jnp.zeros((B,), jnp.int32),
                 slot_mapping=jnp.full((B,), int(PAD_SLOT), jnp.int32),
                 block_tables=jnp.zeros((B, MB), jnp.int32),
                 context_lens=jnp.zeros((B,), jnp.int32),
             )
-            fn = self._make_step_fn(False, 1, 1, hist0,
-                                    cfg.num_decode_steps, greedy_only=True)
+
+        for T in cfg.prefill_token_buckets:
+            NP = T // self.block_size + S
+            batch = MixedBatch(
+                PrefillBatch(
+                    token_ids=jnp.zeros((T,), jnp.int32),
+                    positions=jnp.zeros((T,), jnp.int32),
+                    seq_ids=jnp.full((T,), -1, jnp.int32),
+                    slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
+                    logits_indices=jnp.zeros((S,), jnp.int32),
+                    page_src=jnp.zeros((NP,), jnp.int32),
+                    page_dst=jnp.full((NP,), -1, jnp.int32),
+                ), pad_decode(Btop))
+            fn = self._make_step_fn("mixed", 1, 1, hist0, greedy_only=True)
             self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
+                                  tensors(S + Btop), key)
+        for B in cfg.decode_batch_buckets:
+            fn = self._make_step_fn("decode", 1, 1, hist0,
+                                    cfg.num_decode_steps, greedy_only=True)
+            self.kv_cache, _ = fn(self.params, self.kv_cache, pad_decode(B),
                                   tensors(B), key)
         jax.block_until_ready(self.kv_cache.data)
         logger.info(
-            "Precompiled %d prefill + %d decode programs in %.1f s.",
+            "Precompiled %d mixed + %d decode programs in %.1f s.",
             len(cfg.prefill_token_buckets), len(cfg.decode_batch_buckets),
             time.perf_counter() - t0)
 
@@ -532,8 +556,8 @@ class TPUWorker:
             self._swap_in(sched.blocks_to_swap_in)
         if not metadata_list:
             return []
-        if sched.kind == StepKind.PREFILL:
-            return [self._run_prefill(metadata_list)]
+        if sched.kind == StepKind.MIXED:
+            return [self._run_mixed(metadata_list)]
         return self._run_decode(metadata_list, sched.num_decode_steps)
 
     # -- block ops ----------------------------------------------------
@@ -605,7 +629,7 @@ class TPUWorker:
         replicated; only the driver reads them."""
         kind = int(plan[0][0])
         if kind == 0:
-            self._exec_prefill(plan)
+            self._exec_mixed(plan)
         elif kind == 1:
             self._exec_decode(plan)
         elif kind == 2:
@@ -669,28 +693,27 @@ class TPUWorker:
                 d.setdefault(int(t), float(lp))
         return d
 
-    # -- prefill -------------------------------------------------------
+    # -- mixed (prefill part + single decode step, one program) ---------
 
-    def _run_prefill(
+    def _build_prefill_arrays(
         self, metadata_list: List[SequenceGroupMetadata]
-    ) -> Dict[int, SequenceOutputs]:
+    ) -> List[np.ndarray]:
+        """Pack prompt groups into the prefill part's 7 plan arrays.
+
+        Full token sequences, not just prompts: a sequence preempted
+        by RECOMPUTE re-prefills its generated tokens too (parity:
+        scheduler.py:369-380 requeues the group; the worker
+        re-processes everything).
+        """
         cfg = self.scheduler_config
         S = cfg.max_prefill_seqs
-        vocab = self.model_config.get_vocab_size()
-
-        # Full token sequences, not just prompts: a sequence preempted
-        # by RECOMPUTE re-prefills its generated tokens too (parity:
-        # scheduler.py:369-380 requeues the group; the worker
-        # re-processes everything).
         pack_seqs: List[Tuple[List[int], List[int]]] = []
-        rows: List[Tuple[SamplingParams, List[int]]] = []
         total = 0
         for md in metadata_list:
             first_seq_id = next(iter(md.seq_data))
             data = md.seq_data[first_seq_id]
             pack_seqs.append(
                 (data.get_token_ids(), md.block_tables[first_seq_id]))
-            rows.append((md.sampling_params, data.output_token_ids))
             total += data.get_len()
 
         T = pick_bucket(cfg.prefill_token_buckets, total)
@@ -730,47 +753,133 @@ class TPUWorker:
                 page_dst[pi] = table[p]
                 pi += 1
             start += len(ids)
+        return [tokens, positions, seq_ids_flat, slots, logits_idx,
+                page_src, page_dst]
+
+    def _build_decode_arrays(
+        self, metadata_list: List[SequenceGroupMetadata], B: int
+    ) -> Tuple[List[np.ndarray], List[Tuple[SequenceGroupMetadata, int]]]:
+        """Pack decode rows into the 5 decode plan arrays; returns
+        (arrays, row -> (group metadata, seq_id))."""
+        row_seq: List[Tuple[SequenceGroupMetadata, int]] = []
+        pack_rows: List[Tuple[int, int, List[int]]] = []
+        for md in metadata_list:
+            for sid, data in md.seq_data.items():
+                row_seq.append((md, sid))
+                pack_rows.append((data.get_last_token_id(), data.get_len(),
+                                  md.block_tables[sid]))
+
+        # Block tables always pad to the max width: the Pallas kernel
+        # only walks ctx pages, so wide tables cost nothing, and the
+        # decode program count collapses from |B|x|MB| to |B| (each
+        # compile is tens of seconds on a 32-layer model).
+        MB = self._block_buckets[-1]
+        tokens = np.zeros((B,), np.int32)
+        positions = np.zeros((B,), np.int32)
+        slots = np.full((B,), int(PAD_SLOT), np.int32)
+        table_arr = np.zeros((B, MB), np.int32)
+        ctx = np.zeros((B,), np.int32)
+        if _plan_packer is not None and pack_rows:
+            _plan_packer.fill_decode(pack_rows, tokens, positions, slots,
+                                     table_arr, ctx, self.block_size,
+                                     int(PAD_SLOT))
+        else:
+            for i, (token, L, table) in enumerate(pack_rows):
+                pos = L - 1
+                tokens[i] = token
+                positions[i] = pos
+                slots[i] = (table[pos // self.block_size] * self.block_size +
+                            pos % self.block_size)
+                table_arr[i, :len(table)] = table
+                ctx[i] = L
+        return [tokens, positions, slots, table_arr, ctx], row_seq
+
+    def _run_mixed(
+        self, metadata_list: List[SequenceGroupMetadata]
+    ) -> Dict[int, SequenceOutputs]:
+        cfg = self.scheduler_config
+        S = cfg.max_prefill_seqs
+        vocab = self.model_config.get_vocab_size()
+        prompt_mds = [md for md in metadata_list if md.is_prompt]
+        decode_mds = [md for md in metadata_list if not md.is_prompt]
+
+        prefill_arrays = self._build_prefill_arrays(prompt_mds)
+        # The decode part always pads to the TOP batch bucket: one
+        # mixed program per prefill token bucket (pad rows are
+        # near-free in the decode kernel — ctx==0 rows zero-fill and
+        # skip), where bucketing by live rows would compile |T|x|B|
+        # programs.
+        B = cfg.decode_batch_buckets[-1]
+        decode_arrays, row_seq = self._build_decode_arrays(decode_mds, B)
+
+        # Sampling rows: [S prompt rows | B decode rows].
+        rows: List[Tuple[SamplingParams, List[int]]] = []
+        for md in prompt_mds:
+            data = md.seq_data[next(iter(md.seq_data))]
+            rows.append((md.sampling_params, data.output_token_ids))
+        rows += [(SamplingParams(temperature=0.0), [])] * (S - len(rows))
+        for md, sid in row_seq:
+            rows.append((md.sampling_params,
+                         md.seq_data[sid].output_token_ids))
 
         num_samples = pick_bucket(
             SAMPLE_BUCKETS,
-            max((md.sampling_params.best_of for md in metadata_list
+            max((md.sampling_params.best_of for md in prompt_mds
                  if not md.sampling_params.use_beam_search), default=1))
         num_topk = pick_bucket(
             TOPK_BUCKETS,
-            max(self._row_topk_need(md.sampling_params, True)
-                for md in metadata_list))
+            max([self._row_topk_need(md.sampling_params, True)
+                 for md in prompt_mds] +
+                [self._row_topk_need(md.sampling_params, False)
+                 for md, _ in row_seq]))
         greedy_only = all(md.sampling_params.is_greedy
                           or md.sampling_params.use_beam_search
                           for md in metadata_list)
-        plan = [
-            np.array([0, num_samples, num_topk, int(greedy_only)], np.int32),
-            tokens,
-            positions,
-            seq_ids_flat,
-            slots,
-            logits_idx,
-            page_src,
-            page_dst,
-        ] + self._sampling_arrays(rows, S, vocab)
+        with_pen = any(p.presence_penalty != 0 or p.frequency_penalty != 0
+                       for p, _ in rows)
+        plan = ([
+            np.array([0, num_samples, num_topk, int(greedy_only),
+                      int(with_pen)], np.int32)
+        ] + prefill_arrays + decode_arrays +
+            self._sampling_arrays(rows, S + B, vocab))
         self._broadcast_plan(plan)
-        out = self._exec_prefill(plan)
-        return self._collect_prompt_outputs(metadata_list, out)
+        out = self._exec_mixed(plan)
+        out = jax.device_get(out)
+        results = self._collect_prompt_outputs(
+            prompt_mds, self._slice_rows(out, 0, S))
+        results.update(
+            self._collect_decode_outputs(
+                decode_mds, row_seq, self._slice_rows(out, S, S + B)))
+        return results
 
-    def _exec_prefill(self, plan: List[np.ndarray]):
-        _, num_samples, num_topk, greedy_only = (int(x) for x in plan[0])
-        batch = PrefillBatch(*(jnp.asarray(a) for a in plan[1:8]))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[8:14]))
+    @staticmethod
+    def _slice_rows(out, lo: int, hi: int):
+        """View of sampler output rows [lo:hi] (row axis is axis 0 of
+        topk leaves, axis 1 of sample leaves)."""
+        return type(out)(samples=out.samples[..., lo:hi],
+                         sample_logprobs=out.sample_logprobs[..., lo:hi],
+                         topk_ids=out.topk_ids[lo:hi],
+                         topk_logprobs=out.topk_logprobs[lo:hi])
+
+    def _exec_mixed(self, plan: List[np.ndarray]):
+        _, num_samples, num_topk, greedy_only, with_pen = (
+            int(x) for x in plan[0])
+        batch = MixedBatch(
+            PrefillBatch(*(jnp.asarray(a) for a in plan[1:8])),
+            DecodeBatch(*(jnp.asarray(a) for a in plan[8:13])))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[13:19]))
         hist_len = tensors.output_tokens.shape[1]
-        fn = self._make_step_fn(True, num_samples, num_topk, hist_len,
-                                greedy_only=bool(greedy_only))
+        fn = self._make_step_fn("mixed", num_samples, num_topk, hist_len,
+                                greedy_only=bool(greedy_only),
+                                with_penalties=bool(with_pen))
         self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
                                 self._next_key())
         return out
 
     def _collect_prompt_outputs(self, metadata_list, out):
-        # One batched device->host transfer (4 separate np.asarray
-        # round-trips cost ~10s of ms through a tunneled runtime).
-        out = jax.device_get(out)
+        # ``out`` is already on host (one batched device->host transfer
+        # upstream; separate np.asarray round-trips cost ~10s of ms
+        # through a tunneled runtime).
         samples = out.samples
         sample_lps = out.sample_logprobs
         topk_ids = out.topk_ids
@@ -808,49 +917,16 @@ class TPUWorker:
 
     # -- decode --------------------------------------------------------
 
-    def _run_decode(
-        self,
-        metadata_list: List[SequenceGroupMetadata],
-        num_steps: int = 1,
-    ) -> List[Dict[int, SequenceOutputs]]:
+    def _decode_plan(
+        self, metadata_list: List[SequenceGroupMetadata], num_steps: int
+    ) -> Tuple[List[np.ndarray], List[Tuple[SequenceGroupMetadata, int]]]:
         cfg = self.scheduler_config
         vocab = self.model_config.get_vocab_size()
-
-        row_seq: List[Tuple[SequenceGroupMetadata, int]] = []
-        pack_rows: List[Tuple[int, int, List[int]]] = []
-        rows: List[Tuple[SamplingParams, List[int]]] = []
-        for md in metadata_list:
-            for sid, data in md.seq_data.items():
-                row_seq.append((md, sid))
-                pack_rows.append((data.get_last_token_id(), data.get_len(),
-                                  md.block_tables[sid]))
-                rows.append((md.sampling_params, data.output_token_ids))
-
-        n = len(row_seq)
+        n = sum(len(md.seq_data) for md in metadata_list)
         B = pick_bucket(cfg.decode_batch_buckets, n)
-        # Block tables always pad to the max width: the Pallas kernel
-        # only walks ctx pages, so wide tables cost nothing, and the
-        # decode program count collapses from |B|x|MB| to |B| (each
-        # compile is tens of seconds on a 32-layer model).
-        MB = self._block_buckets[-1]
-        tokens = np.zeros((B,), np.int32)
-        positions = np.zeros((B,), np.int32)
-        slots = np.full((B,), int(PAD_SLOT), np.int32)
-        table_arr = np.zeros((B, MB), np.int32)
-        ctx = np.zeros((B,), np.int32)
-        if _plan_packer is not None:
-            _plan_packer.fill_decode(pack_rows, tokens, positions, slots,
-                                     table_arr, ctx, self.block_size,
-                                     int(PAD_SLOT))
-        else:
-            for i, (token, L, table) in enumerate(pack_rows):
-                pos = L - 1
-                tokens[i] = token
-                positions[i] = pos
-                slots[i] = (table[pos // self.block_size] * self.block_size +
-                            pos % self.block_size)
-                table_arr[i, :len(table)] = table
-                ctx[i] = L
+        decode_arrays, row_seq = self._build_decode_arrays(metadata_list, B)
+        rows = [(md.sampling_params, md.seq_data[sid].output_token_ids)
+                for md, sid in row_seq]
 
         num_topk = pick_bucket(
             TOPK_BUCKETS,
@@ -859,31 +935,68 @@ class TPUWorker:
         greedy_only = all(md.sampling_params.is_greedy
                           or md.sampling_params.use_beam_search
                           for md, _ in row_seq)
-        plan = [
-            np.array([1, num_steps, num_topk, int(greedy_only)], np.int32),
-            tokens,
-            positions,
-            slots,
-            table_arr,
-            ctx,
-        ] + self._sampling_arrays(rows, B, vocab)
-        self._broadcast_plan(plan)
-        outs = self._exec_decode(plan)
-        outs = jax.device_get(outs)  # one batched device->host transfer
-        return [
+        with_pen = any(p.presence_penalty != 0 or p.frequency_penalty != 0
+                       for p, _ in rows)
+        plan = ([
+            np.array([1, num_steps, num_topk, int(greedy_only),
+                      int(with_pen)], np.int32)
+        ] + decode_arrays + self._sampling_arrays(rows, B, vocab))
+        return plan, row_seq
+
+    def _run_decode(
+        self,
+        metadata_list: List[SequenceGroupMetadata],
+        num_steps: int = 1,
+    ) -> List[Dict[int, SequenceOutputs]]:
+        # Beam groups need host bookkeeping (fork selection) every
+        # token, so they can't join a multi-step chunk — but they must
+        # not collapse everyone else's chunk either (VERDICT r1 #4).
+        # They run as their own single-step program dispatched alongside
+        # the chunked program; one combined fetch covers both.
+        if num_steps > 1:
+            chunk_mds = [md for md in metadata_list
+                         if not md.sampling_params.use_beam_search]
+            beam_mds = [md for md in metadata_list
+                        if md.sampling_params.use_beam_search]
+        else:
+            chunk_mds, beam_mds = metadata_list, []
+
+        if not chunk_mds:
+            chunk_mds, beam_mds, num_steps = beam_mds, [], 1
+
+        plan_c, rows_c = self._decode_plan(chunk_mds, num_steps)
+        self._broadcast_plan(plan_c)
+        outs_c = self._exec_decode(plan_c)
+        outs_b = rows_b = None
+        if beam_mds:
+            plan_b, rows_b = self._decode_plan(beam_mds, 1)
+            self._broadcast_plan(plan_b)
+            outs_b = self._exec_decode(plan_b)
+        # One batched device->host transfer for everything.
+        outs_c, outs_b = jax.device_get((outs_c, outs_b))
+
+        results = [
             self._collect_decode_outputs(
-                metadata_list, row_seq,
-                jax.tree.map(lambda x: x[j], outs))  # noqa: B023
+                chunk_mds, rows_c,
+                jax.tree.map(lambda x: x[j], outs_c))  # noqa: B023
             for j in range(num_steps)
         ]
+        if beam_mds:
+            results[0].update(
+                self._collect_decode_outputs(
+                    beam_mds, rows_b,
+                    jax.tree.map(lambda x: x[0], outs_b)))
+        return results
 
     def _exec_decode(self, plan: List[np.ndarray]):
-        _, num_steps, num_topk, greedy_only = (int(x) for x in plan[0])
+        _, num_steps, num_topk, greedy_only, with_pen = (
+            int(x) for x in plan[0])
         batch = DecodeBatch(*(jnp.asarray(a) for a in plan[1:6]))
         tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
         hist_len = tensors.output_tokens.shape[1]
-        fn = self._make_step_fn(False, 1, num_topk, hist_len, num_steps,
-                                greedy_only=bool(greedy_only))
+        fn = self._make_step_fn("decode", 1, num_topk, hist_len, num_steps,
+                                greedy_only=bool(greedy_only),
+                                with_penalties=bool(with_pen))
         self.kv_cache, outs = fn(self.params, self.kv_cache, batch, tensors,
                                  self._next_key())
         return outs
