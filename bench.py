@@ -131,6 +131,9 @@ def main():
     parser.add_argument("--num-decode-steps", type=int, default=8)
     parser.add_argument("--quick", action="store_true",
                         help="small sanity run (8 requests)")
+    parser.add_argument("--verbose", action="store_true",
+                        help="print a per-step-kind timing breakdown "
+                        "to stderr")
     args = parser.parse_args()
     if args.quick:
         args.num_requests = min(args.num_requests, 8)
@@ -151,8 +154,29 @@ def main():
     # Warmup: trigger prefill/decode bucket compilation off the clock.
     run(llm, synth_requests(4, vocab, seed=7))
 
+    # Reset perf counters after warmup so the breakdown covers the
+    # timed run only.
+    for v in llm.llm_engine.perf.values():
+        for key in v:
+            v[key] = 0 if isinstance(v[key], int) else 0.0
     reqs = synth_requests(args.num_requests, vocab)
     elapsed, prompt_tokens, out_tokens = run(llm, reqs)
+
+    if args.verbose:
+        import sys
+        total = 0.0
+        for kind, p in llm.llm_engine.perf.items():
+            if not p["steps"]:
+                continue
+            total += p["sched_s"] + p["exec_s"] + p["host_s"]
+            print(
+                f"[perf] {kind}: {p['steps']} steps, "
+                f"sched {p['sched_s']:.2f}s exec {p['exec_s']:.2f}s "
+                f"host {p['host_s']:.2f}s, "
+                f"prompt_toks {p['prompt_tokens']} "
+                f"decode_toks {p['decode_tokens']}", file=sys.stderr)
+        print(f"[perf] accounted {total:.2f}s of {elapsed:.2f}s wall",
+              file=sys.stderr)
 
     value = out_tokens / elapsed
     w = "int8w" if quant == "int8" else "bf16w"

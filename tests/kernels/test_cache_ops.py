@@ -24,7 +24,7 @@ def make_cache(seed=0, quantized=False) -> KVCache:
     q = np.clip(np.round(data / scales[..., None]), -127, 127)
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
     # scale page layout: [.., 2, BS, LANES] with heads in lanes
-    scales_page[..., :KVH] = np.swapaxes(scales, -1, -2)
+    scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
     return KVCache(jnp.asarray(q, jnp.int8), jnp.asarray(scales_page))
 
 

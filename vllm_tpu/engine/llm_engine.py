@@ -75,6 +75,13 @@ class LLMEngine:
         self.scheduler = Scheduler(scheduler_config, cache_config, log_stats)
         self.profile_dir = profile_dir
         self._profiling = False
+        # Per-step-kind wall-clock accounting (SURVEY §5 tracing row):
+        # device+dispatch time vs host bookkeeping time per iteration.
+        self.perf = {
+            k: {"steps": 0, "exec_s": 0.0, "host_s": 0.0, "sched_s": 0.0,
+                "prompt_tokens": 0, "decode_tokens": 0}
+            for k in ("MIXED", "DECODE", "EMPTY")
+        }
 
     @classmethod
     def from_engine_args(cls, engine_args: EngineArgs,
@@ -158,6 +165,7 @@ class LLMEngine:
     def step(self) -> List[RequestOutput]:
         """One engine iteration: schedule, run the device program,
         apply outputs, detokenize, check stops."""
+        t0 = time.perf_counter()
         metadata_list, sched_out = self.scheduler.schedule()
 
         has_work = (metadata_list or sched_out.blocks_to_swap_in
@@ -165,7 +173,9 @@ class LLMEngine:
         if not has_work and not sched_out.ignored_seq_groups:
             return []
 
+        t1 = time.perf_counter()
         step_outputs = self.worker.execute_step(metadata_list, sched_out)
+        t2 = time.perf_counter()
 
         # A decode chunk carries num_decode_steps token sets; apply them
         # in order, re-checking stop conditions between sets so finished
@@ -185,6 +195,16 @@ class LLMEngine:
             RequestOutput.from_seq_group(g)
             for g in list(seen_groups.values()) + sched_out.ignored_seq_groups
         ]
+        p = self.perf[sched_out.kind.name]
+        p["steps"] += 1
+        p["sched_s"] += t1 - t0
+        p["exec_s"] += t2 - t1
+        p["host_s"] += time.perf_counter() - t2
+        n_dec = sum(
+            len(md.seq_data) for md in metadata_list if not md.is_prompt)
+        p["decode_tokens"] += n_dec * sched_out.num_decode_steps
+        p["prompt_tokens"] += (sched_out.num_batched_tokens -
+                               n_dec * sched_out.num_decode_steps)
         return request_outputs
 
     # -- detokenization + stopping --------------------------------------------

@@ -25,10 +25,13 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from vllm_tpu.ops.cache import KVCache
 
 _NEG_INF = -1e30
+
+_HEAD_SPEC = P(None, "model", None)  # [tokens/batch, heads, head_dim]
 
 
 def _use_pallas(impl: str) -> bool:
@@ -39,7 +42,22 @@ def _use_pallas(impl: str) -> bool:
     # "auto": pallas on TPU, xla elsewhere (tests force xla/interpret).
     if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
         return False
+    if os.environ.get("VLLM_TPU_FORCE_PALLAS_OPS"):
+        # Tests: exercise the Pallas path (interpret mode) off-TPU.
+        return True
     return jax.default_backend() == "tpu"
+
+
+def shard_map_tp(fn, mesh, in_specs, out_specs):
+    """shard_map over the ``model`` axis with replication checking off
+    (Pallas calls aren't analyzable), tolerant of the jax API move."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
 
 
 def paged_decode_attention(
@@ -64,9 +82,37 @@ def paged_decode_attention(
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.paged_attention import (
             pallas_paged_decode_attention)
-        return pallas_paged_decode_attention(q, kv_cache, layer,
-                                             block_tables, context_lens,
-                                             scale)
+        from vllm_tpu.parallel.mesh import (KV_CACHE_SPEC, KV_SCALES_SPEC,
+                                            current_tp_mesh)
+        mesh = current_tp_mesh()
+        if mesh is None:
+            return pallas_paged_decode_attention(q, kv_cache, layer,
+                                                 block_tables, context_lens,
+                                                 scale)
+
+        # Tensor parallel: each shard runs the kernel on ITS kv heads —
+        # q sharded on the head axis, the cache payload on its head
+        # axis, the scales on their tp-group axis; block tables /
+        # context lengths replicate. No collective is needed (heads are
+        # independent); GSPMD would otherwise replicate the whole
+        # sharded cache into the kernel (reference analog: the CUDA
+        # grid runs over LOCAL heads, attention_kernels.cu:66-91).
+        def local(q, data, scales, tables, ctx):
+            return pallas_paged_decode_attention(q, KVCache(data, scales),
+                                                 layer, tables, ctx, scale)
+
+        if kv_cache.scales is None:
+            fn = shard_map_tp(
+                lambda q, d, t, c: local(q, d, None, t, c), mesh,
+                (_HEAD_SPEC, KV_CACHE_SPEC, P(None, None), P(None)),
+                _HEAD_SPEC)
+            return fn(q, kv_cache.data, block_tables, context_lens)
+        fn = shard_map_tp(
+            local, mesh,
+            (_HEAD_SPEC, KV_CACHE_SPEC, KV_SCALES_SPEC, P(None, None),
+             P(None)), _HEAD_SPEC)
+        return fn(q, kv_cache.data, kv_cache.scales, block_tables,
+                  context_lens)
     return _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
                                        context_lens, scale)
 
@@ -80,14 +126,12 @@ def _xla_paged_decode_attention(q, kv_cache, layer, block_tables,
     MB = block_tables.shape[1]
     S = MB * BS
 
+    from vllm_tpu.ops.cache import dequantize_pages
     tables = jnp.clip(block_tables, 0, NB - 1)
     # [B, MB, 2, KVH, BS, D] f32 (dequantized)
-    pages = data[layer][tables].astype(jnp.float32)
-    if scales is not None:
-        # scales [B, MB, 2, BS, LANES] -> [B, MB, 2, KVH, BS]
-        s = jnp.swapaxes(
-            scales[layer][tables].astype(jnp.float32)[..., :KVH], -1, -2)
-        pages = pages * s[..., None]
+    pages = dequantize_pages(
+        data[layer][tables],
+        None if scales is None else scales[layer][tables])
 
     def fetch(kv: int) -> jnp.ndarray:
         # [B, MB, KVH, BS, D] -> [B, KVH, MB*BS, D]
@@ -125,7 +169,16 @@ def prefill_attention(
     """
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.flash_prefill import pallas_prefill_attention
-        return pallas_prefill_attention(q, k, v, seq_ids, scale)
+        from vllm_tpu.parallel.mesh import current_tp_mesh
+        mesh = current_tp_mesh()
+        if mesh is None:
+            return pallas_prefill_attention(q, k, v, seq_ids, scale)
+        # Tensor parallel: heads are independent — each shard flashes
+        # over its local q/k/v heads; segment ids replicate.
+        fn = shard_map_tp(
+            lambda q, k, v, s: pallas_prefill_attention(q, k, v, s, scale),
+            mesh, (_HEAD_SPEC, _HEAD_SPEC, _HEAD_SPEC, P(None)), _HEAD_SPEC)
+        return fn(q, k, v, seq_ids)
     return _xla_prefill_attention(q, k, v, seq_ids, scale)
 
 

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 def _use_pallas() -> bool:
     if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
         return False
+    if os.environ.get("VLLM_TPU_FORCE_PALLAS_OPS"):
+        return True  # tests: interpret-mode kernels off-TPU
     return jax.default_backend() == "tpu"
 
 
@@ -52,8 +54,15 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 _INT8_MAX = 127.0
 
 # The scales' kv-head axis pads to a full 128-lane tile: Mosaic
-# requires HBM DMA slices to be lane-aligned, and [CHUNK, SCALE_LANES]
-# reshapes stay free shape casts in the decode kernel.
+# requires HBM DMA slices to be lane-aligned, and [CHUNK, lanes]
+# reshapes stay free shape casts in the decode kernel. Under tensor
+# parallelism the 128 lanes split into a [TPG, 128/TPG] (tp-groups x
+# lanes-per-group) trailing pair sharded on TPG, so each shard's local
+# scale page keeps ITS kv heads in the first kvh/tp lanes of a
+# lane-aligned tile — the head axis of the payload and the lane group
+# of the scales shard on the SAME mesh axis (scales replicating under
+# TP would cost as much HBM per shard as the entire sharded int8
+# payload at tp=8).
 SCALE_LANES = 128
 
 
@@ -62,8 +71,11 @@ class KVCache(NamedTuple):
 
     data: [L, NB, 2, KVH, BS, D] payload (bf16/f32, or int8 quantized);
         index 0 of the ``2`` axis is K, 1 is V.
-    scales: [L, NB, 2, BS, SCALE_LANES] f32 per-vector dequant scales
-        (kv head in the lane axis, first KVH lanes used), or None.
+    scales: [L, NB, 2, BS, TPG, SCALE_LANES/TPG] f32 per-vector dequant
+        scales, or None. TPG = tensor-parallel group count; group g
+        holds the scales for kv heads [g*KVH/TPG, (g+1)*KVH/TPG) in its
+        first KVH/TPG lanes. TPG == 1 (single chip) is one plain
+        128-lane axis.
     """
     data: jnp.ndarray
     scales: Optional[jnp.ndarray]
@@ -87,14 +99,18 @@ def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
     """Stack K/V rows into page-order ([T, 2, KVH, D]) and quantize if
     the cache is int8. Returns (payload [T, 2, KVH, D],
-    scales [T, 2, SCALE_LANES] | None)."""
+    scales [T, 2, TPG, LPG] | None) — head h's scale goes to group
+    h // (KVH/TPG), local lane h % (KVH/TPG), matching the cache's
+    tp-grouped scale layout."""
     data, scales = kv_cache
     kv = jnp.stack([k, v], axis=1)  # [T, 2, KVH, D]
     if scales is None:
         return kv.astype(data.dtype), None
     q, s = quantize_kv(kv)  # s: [T, 2, KVH]
-    lanes = scales.shape[-1]
-    s = jnp.pad(s, ((0, 0), (0, 0), (0, lanes - s.shape[-1])))
+    tpg, lpg = scales.shape[-2:]
+    kvh = s.shape[-1]
+    s = s.reshape(s.shape[0], 2, tpg, kvh // tpg)
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, lpg - kvh // tpg)))
     return q, s
 
 
@@ -117,7 +133,35 @@ def write_kv(
     """
     if _use_pallas():
         from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
-        return pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping)
+        from vllm_tpu.parallel.mesh import current_tp_mesh
+        mesh = current_tp_mesh()
+        if mesh is None:
+            return pallas_write_kv_tokens(kv_cache, layer, k, v,
+                                          slot_mapping)
+        # Tensor parallel: each shard RMWs its own kv-head slice of the
+        # written pages (and its scale group); slot ids replicate.
+        from jax.sharding import PartitionSpec as P
+
+        from vllm_tpu.ops.attention import shard_map_tp
+        from vllm_tpu.parallel.mesh import KV_CACHE_SPEC, KV_SCALES_SPEC
+        head = P(None, "model", None)
+        if kv_cache.scales is None:
+            fn = shard_map_tp(
+                lambda d, k, v, s: tuple(
+                    pallas_write_kv_tokens(KVCache(d, None), layer, k, v,
+                                           s))[:1],
+                mesh, (KV_CACHE_SPEC, head, head, P(None)),
+                (KV_CACHE_SPEC,))
+            (data,) = fn(kv_cache.data, k, v, slot_mapping)
+            return KVCache(data, None)
+        fn = shard_map_tp(
+            lambda d, sc, k, v, s: tuple(
+                pallas_write_kv_tokens(KVCache(d, sc), layer, k, v, s)),
+            mesh, (KV_CACHE_SPEC, KV_SCALES_SPEC, head, head, P(None)),
+            (KV_CACHE_SPEC, KV_SCALES_SPEC))
+        data, scales = fn(kv_cache.data, kv_cache.scales, k, v,
+                          slot_mapping)
+        return KVCache(data, scales)
     data, scales = kv_cache
     num_blocks, _, kvh, block_size, d = data.shape[1:]
     block_ids = jnp.clip(slot_mapping // block_size, 0, num_blocks - 1)
@@ -138,13 +182,13 @@ def write_kv(
         page = jnp.where(keep, page, kv[i][None, None, :, :, None, :])
         data = jax.lax.dynamic_update_slice(data, page, idx)
         if scales is not None:
-            sidx = (layer, block_ids[i], 0, 0, 0)
+            sidx = (layer, block_ids[i], 0, 0, 0, 0)
             spage = jax.lax.dynamic_slice(scales, sidx,
                                           (1, 1) + scales.shape[2:])
             tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 3)
             keep = jnp.logical_or(pad[i], tok != offsets[i])
             spage = jnp.where(keep, spage,
-                              kv_scales[i][None, None, :, None, :])
+                              kv_scales[i][None, None, :, None, :, :])
             scales = jax.lax.dynamic_update_slice(scales, spage, sidx)
         return data, scales
 
@@ -183,8 +227,9 @@ def write_kv_pages(
     kv = jnp.pad(kv, ((0, block_size),) + ((0, 0),) * 3)
     kv_t = kv.transpose(1, 2, 0, 3)
     if kv_scales is not None:
-        kv_scales = jnp.pad(kv_scales, ((0, block_size), (0, 0), (0, 0)))
-        scales_t = kv_scales.transpose(1, 0, 2)
+        # [T, 2, TPG, LPG] -> zero-slack pad -> page order [2, T+BS, TPG, LPG]
+        kv_scales = jnp.pad(kv_scales, ((0, block_size),) + ((0, 0),) * 3)
+        scales_t = kv_scales.transpose(1, 0, 2, 3)
 
     def body(i, carry):
         data, scales = carry
@@ -199,7 +244,7 @@ def write_kv_pages(
         if scales is not None:
             spage = jax.lax.dynamic_slice_in_dim(scales_t, src, block_size,
                                                  1)
-            sidx = (layer, blk, 0, 0, 0)
+            sidx = (layer, blk, 0, 0, 0, 0)
             cur = jax.lax.dynamic_slice(scales, sidx,
                                         (1, 1) + scales.shape[2:])
             upd = jnp.where(invalid, cur, spage[None, None])
@@ -254,15 +299,20 @@ def scatter_blocks(
 
 def dequantize_pages(data: jnp.ndarray,
                      scales: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """[..., 2, KVH, BS, D] int8 pages + [..., 2, BS, SCALE_LANES]
-    scales -> f32 (testing / XLA fallback path; the Pallas kernels fuse
-    this into attention)."""
+    """[..., 2, KVH, BS, D] int8 pages + [..., 2, BS, TPG, LPG] scales
+    -> f32 (testing / XLA fallback path; the Pallas kernels fuse this
+    into attention)."""
     x = data.astype(jnp.float32)
     if scales is None:
         return x
     kvh = data.shape[-3]
-    # scales [..., 2, BS, LANES] -> [..., 2, KVH, BS]
-    s = jnp.swapaxes(scales.astype(jnp.float32)[..., :kvh], -1, -2)
+    tpg = scales.shape[-2]
+    kvh_g = kvh // tpg
+    # [..., 2, BS, TPG, LPG] -> take each group's first KVH/TPG lanes
+    # -> [..., 2, TPG, KVH/TPG, BS] -> [..., 2, KVH, BS]
+    s = scales.astype(jnp.float32)[..., :kvh_g]
+    s = jnp.moveaxis(s, -3, -1)  # [..., 2, TPG, LPGslice, BS]
+    s = s.reshape(s.shape[:-3] + (kvh, s.shape[-1]))
     return x * s[..., None]
 
 
@@ -281,6 +331,12 @@ def kv_scales_shape(
     num_kv_heads: int,
     num_blocks: int,
     block_size: int,
-) -> Tuple[int, int, int, int, int]:
-    assert num_kv_heads <= SCALE_LANES
-    return (num_layers, num_blocks, 2, block_size, SCALE_LANES)
+    tp: int = 1,
+) -> Tuple[int, int, int, int, int, int]:
+    """Trailing [TPG, SCALE_LANES/TPG] pair: TPG shards with the
+    payload's head axis; each group's first KVH/TPG lanes are live."""
+    lanes_per_group = SCALE_LANES // tp
+    assert num_kv_heads // tp <= lanes_per_group, (
+        f"kv heads per shard ({num_kv_heads}/{tp}) exceed scale lanes "
+        f"per group ({lanes_per_group})")
+    return (num_layers, num_blocks, 2, block_size, tp, lanes_per_group)

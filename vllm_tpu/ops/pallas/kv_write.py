@@ -103,11 +103,11 @@ def _write_kernel(
         keep = jnp.logical_or(is_pad, tok != off)
         page_buf[i] = jnp.where(keep, page, kv_ref[i][...][:, :, None, :])
         if quantized:
-            spage = spage_buf[i][...]  # [2, BS, SCALE_LANES]
+            spage = spage_buf[i][...]  # [2, BS, 1, LPG] (one tp group)
             tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 1)
             keep = jnp.logical_or(is_pad, tok != off)
             spage_buf[i] = jnp.where(keep, spage,
-                                     scale_ref[i][...][:, None, :])
+                                     scale_ref[i][...][:, None, :, :])
 
     run(1)  # pages back out
 
@@ -143,8 +143,11 @@ def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kv scale rows
             pl.BlockSpec(memory_space=pl.ANY),  # cache scales
         ]
+        assert scales.shape[-2] == 1, (
+            f"kv-write kernel needs a single-tp-group scale view, got "
+            f"{scales.shape} — wrap the call in shard_map for tp>1")
         scratch_shapes.append(
-            pltpu.VMEM((B, 2, BS, scales.shape[-1]), scales.dtype))
+            pltpu.VMEM((B,) + scales.shape[2:], scales.dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     # Alias indices count flattened inputs INCLUDING the scalar-prefetch
     # arg: slots=0, kv=1, data=2[, kv_scales=3, scales=4].

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.cache import KVCache, SCALE_LANES
+from vllm_tpu.ops.cache import KVCache
 
 _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
@@ -174,11 +174,14 @@ def _decode_kernel(
             k = kb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             v = vb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             if quantized:
-                sb = s_buf[slot][...]  # [P, 2, BS, SCALE_LANES]
+                sb = s_buf[slot][...]  # [P, 2, BS, 1, LPG]
                 sck = jax.lax.index_in_dim(sb, 0, axis=1, keepdims=False)
                 scv = jax.lax.index_in_dim(sb, 1, axis=1, keepdims=False)
-                # [P, BS, LANES] -> [CHUNK, KVH] -> [KVH, CHUNK]
-                # (small-array transposes; the payload stays put).
+                # [P, BS, 1, LPG] -> [CHUNK, KVH] -> [KVH, CHUNK]
+                # (small-array transposes; the payload stays put). The
+                # unit axis is this shard's slot in the tp-grouped
+                # scale layout (local kv heads sit in the first kvh
+                # lanes of the group).
                 sck = jax.lax.slice_in_dim(
                     sck.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
                     axis=1).swapaxes(0, 1)
@@ -246,9 +249,17 @@ def pallas_paged_decode_attention(
     ]
     operands = [q_grouped, data]
     if quantized:
+        # The kernel sees ONE tp group of the scale layout: its local
+        # kv heads in the first KVH lanes. Under tensor parallelism
+        # shard_map hands each shard its own group (ops/attention.py);
+        # a multi-group global array here means the caller forgot the
+        # shard_map wrapper.
+        assert scales.shape[-2] == 1, (
+            f"decode kernel needs a single-tp-group scale view, got "
+            f"{scales.shape} — wrap the call in shard_map for tp>1")
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
-            pltpu.VMEM((2, pages, 2, BS, SCALE_LANES), jnp.float32),
+            pltpu.VMEM((2, pages) + scales.shape[2:], jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         operands.append(scales)

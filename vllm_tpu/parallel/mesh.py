@@ -23,12 +23,48 @@ from vllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 # KV cache payload [L, NB, 2, KVH, BS, D]: shard kv-heads over the
-# model axis. The int8 dequant scales [L, NB, 2, BS, SCALE_LANES] keep
-# kv-heads in a 128-padded lane axis whose shard boundaries wouldn't
-# line up with the payload's head shards, so they replicate (they are
-# 1/128th of the payload).
+# model axis. The int8 dequant scales [L, NB, 2, BS, TPG, LANES/TPG]
+# carry an explicit tp-group axis that shards WITH the payload's
+# heads: group g holds the scales for shard g's kv heads in its first
+# KVH/tp lanes, so each shard's local scale page is still one
+# lane-aligned DMA and nothing replicates (replicated scales would
+# cost as much HBM per shard as the whole sharded int8 payload at
+# tp=8).
 KV_CACHE_SPEC = P(None, None, None, "model", None, None)
-KV_SCALES_SPEC = P(None, None, None, None, None)
+KV_SCALES_SPEC = P(None, None, None, None, "model", None)
+
+
+# Trace-time mesh context: the executor wraps each step function's
+# trace in ``active_mesh(mesh)`` so the attention/cache ops know
+# whether (and over what) to shard_map their Pallas kernels. Scoped to
+# tracing — nothing leaks across tests or engines.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+class active_mesh:
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+        self.prev: Optional[Mesh] = None
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self.prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self.prev
+        return False
+
+
+def current_tp_mesh() -> Optional[Mesh]:
+    """The active mesh when its ``model`` axis is sharded (tp > 1)."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    return mesh
 
 
 def build_mesh(tensor_parallel_size: int = 1,

@@ -45,7 +45,7 @@ from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
 from vllm_tpu.ops.sampling import (PAD_TOKEN, SamplingTensors, append_counts,
                                    counts_from_history, sample)
 from vllm_tpu.parallel.mesh import (KV_CACHE_SPEC, KV_SCALES_SPEC,
-                                    build_mesh, shard_params)
+                                    active_mesh, build_mesh, shard_params)
 from vllm_tpu.sampling_params import SamplingParams
 from vllm_tpu.sequence import SequenceGroupMetadata, SequenceOutputs
 from vllm_tpu.utils import cdiv, make_buckets, pick_bucket
@@ -334,7 +334,8 @@ class TPUWorker:
 
     def _scales_shape(self, num_blocks):
         return kv_scales_shape(self.num_layers, self.num_kv_heads,
-                               num_blocks, self.block_size)
+                               num_blocks, self.block_size,
+                               self.parallel_config.tensor_parallel_size)
 
     def _kv_abstract(self, num_blocks) -> KVCache:
         data = jax.ShapeDtypeStruct(self._kv_shape(num_blocks),
@@ -447,9 +448,18 @@ class TPUWorker:
                     jnp.arange(num_steps))
                 return kv_cache, outs  # leaves stacked on a leading S dim
 
+        # Trace under the active mesh so the attention/cache ops wrap
+        # their Pallas kernels in shard_map when tp > 1.
+        mesh = self.mesh
+        inner_step = step
+
+        def step_in_mesh(params, kv_cache, batch, tensors, key):
+            with active_mesh(mesh):
+                return inner_step(params, kv_cache, batch, tensors, key)
+
         # Sampler outputs replicate across the mesh so the driver
         # process can fetch them locally under multi-host.
-        fn = jax.jit(step, donate_argnums=(1,),
+        fn = jax.jit(step_in_mesh, donate_argnums=(1,),
                      out_shardings=(self._kv_sharding, self._rep))
         self._fn_cache[key_sig] = fn
         return fn
