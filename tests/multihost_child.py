@@ -40,8 +40,12 @@ def main():
     assert jax.device_count() == 2
 
     from vllm_tpu.engine.arg_utils import EngineArgs
+    # 10 device blocks: tight enough that the beam group (lowest
+    # priority, latest arrival) gets preempted by SWAP mid-run and
+    # later swapped back in — exercising the broadcast swap plans and
+    # the per-process host pools.
     args = EngineArgs(model=model_path, dtype="float32", block_size=4,
-                      tensor_parallel_size=2, num_device_blocks_override=64,
+                      tensor_parallel_size=2, num_device_blocks_override=10,
                       swap_space=0.001, max_model_len=48,
                       max_num_batched_tokens=32, max_num_seqs=8,
                       max_prefill_seqs=4, disable_log_stats=True)
@@ -54,15 +58,21 @@ def main():
     from vllm_tpu import SamplingParams
     from vllm_tpu.engine.llm_engine import LLMEngine
     engine = LLMEngine.from_engine_args(args, tokenizer=tok)
-    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    beam = SamplingParams(use_beam_search=True, best_of=2, n=1,
+                          temperature=0.0, max_tokens=8, ignore_eos=True)
     engine.add_request("0", "hello mesh", params)
     engine.add_request("1", "tp", params)
+    engine.add_request("2", "beam beam!", beam)
     results = {}
+    saw_swap = False
     while engine.has_unfinished_requests():
         for out in engine.step():
             if out.finished:
                 results[out.request_id] = out.outputs[0].token_ids
+        saw_swap = saw_swap or bool(engine.scheduler.swapped)
     engine.shutdown()
+    results["swapped"] = saw_swap
     print("RESULT " + json.dumps(results))
 
 

@@ -62,12 +62,28 @@ def test_two_process_engine_matches_single(checkpoint, tmp_path):
     assert result_line, outs[0][-3000:]
     dist_results = json.loads(result_line[0][len("RESULT "):])
 
-    # Single-process tp=1 reference in THIS process.
+    # The beam group must actually have been preempted by SWAP in the
+    # 2-process run (10-block pool): broadcast swap plans + per-process
+    # host pools did real work.
+    assert dist_results["swapped"] is True
+
+    # Single-process tp=1 reference in THIS process (ample blocks — a
+    # preempt/swap round-trip must not change any output).
     llm = LLM(model=checkpoint, tokenizer=MockTokenizer(VOCAB),
               dtype="float32", block_size=4, num_device_blocks_override=64,
               swap_space=0.001, max_model_len=48, max_num_batched_tokens=32,
               max_num_seqs=8, max_prefill_seqs=4)
-    params = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
-    ref = llm.generate(["hello mesh", "tp"], params, use_tqdm=False)
-    assert dist_results["0"] == ref[0].outputs[0].token_ids
-    assert dist_results["1"] == ref[1].outputs[0].token_ids
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    beam = SamplingParams(use_beam_search=True, best_of=2, n=1,
+                          temperature=0.0, max_tokens=8, ignore_eos=True)
+    engine = llm.llm_engine
+    engine.add_request("0", "hello mesh", params)
+    engine.add_request("1", "tp", params)
+    engine.add_request("2", "beam beam!", beam)
+    ref = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                ref[out.request_id] = out.outputs[0].token_ids
+    for rid in ("0", "1", "2"):
+        assert dist_results[rid] == ref[rid], rid

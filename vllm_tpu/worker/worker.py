@@ -157,12 +157,10 @@ class TPUWorker:
         return payload
 
     def profile_num_available_blocks(self) -> Tuple[int, int]:
+        # Swap pools are per-process (each host keeps its own KV
+        # shard), so the count is world-size independent — parity:
+        # cache_engine.py:120-130.
         num_cpu = self.cache_config.swap_space_bytes // self.block_bytes()
-        if self._num_processes > 1:
-            # Host swap is per-process (each host holds its KV shard);
-            # not wired up for multi-host yet — preemption falls back
-            # to recompute.
-            num_cpu = 0
         if self.cache_config.num_device_blocks_override is not None:
             return self.cache_config.num_device_blocks_override, num_cpu
 
@@ -354,15 +352,43 @@ class TPUWorker:
             jnp.zeros(self._scales_shape(nb), jnp.float32)
             if self.kv_quantized else None)
         self.kv_cache = jax.device_put(zeros, self._kv_sharding)
+        # Host swap pools hold THIS PROCESS's shard (its kv heads /
+        # scale groups): swap never moves KV across hosts (parity:
+        # cache_engine.py:120-130 swaps each GPU's own cache slice).
+        self._kv_slices = self._process_slices(self.kv_cache.data)
+        self._scale_slices = (self._process_slices(self.kv_cache.scales)
+                              if self.kv_quantized else None)
         ncpu = max(cfg.num_cpu_blocks, 1)
-        shape = self._kv_shape(ncpu)  # [L, ncpu, BS, 2, KVH, D]
+        shape = self._local_shape(self._kv_slices)
         self.host_pool = np.zeros((ncpu,) + shape[:1] + shape[2:],
                                   dtype=np.dtype(self.kv_dtype))
         if self.kv_quantized:
             # Host mirror of the padded scales page layout.
-            scales_shape = self._scales_shape(ncpu)
+            scales_shape = self._local_shape(self._scale_slices)
             self.host_scales = np.zeros(
                 (ncpu,) + scales_shape[:1] + scales_shape[2:], np.float32)
+        self._pending_swap_outs: List[Tuple[KVCache, List[int], int]] = []
+
+    # -- per-process shard geometry (multi-host swap) -------------------
+
+    @staticmethod
+    def _process_slices(arr) -> Tuple[List[int], List[int]]:
+        """Per-axis [lo, hi) bounds of this process's union of
+        addressable shards (contiguous for our 1-axis shardings)."""
+        lo = list(arr.shape)
+        hi = [0] * arr.ndim
+        for s in arr.addressable_shards:
+            for ax, sl in enumerate(s.index):
+                start = sl.start or 0
+                stop = sl.stop if sl.stop is not None else arr.shape[ax]
+                lo[ax] = min(lo[ax], start)
+                hi[ax] = max(hi[ax], stop)
+        return lo, hi
+
+    @staticmethod
+    def _local_shape(slices) -> Tuple[int, ...]:
+        lo, hi = slices
+        return tuple(h - l for h, l in zip(hi, lo))
 
     # ------------------------------------------------------------------
     # jitted step programs
@@ -558,6 +584,10 @@ class TPUWorker:
         # this with per-layer CUDA events, attention.py:124-126; here
         # jax data dependencies on the donated cache array serialize
         # it for free).
+        if len(self._pending_swap_outs) >= 2:
+            # Bound the device staging memory swap-outs hold while
+            # their host copies land lazily.
+            self._drain_swap_outs()
         if sched.blocks_to_swap_out:
             self._swap_out(sched.blocks_to_swap_out)
         if sched.blocks_to_copy:
@@ -578,39 +608,96 @@ class TPUWorker:
         return arr
 
     def _swap_out(self, mapping: Dict[int, int]) -> None:
-        dev_ids = list(mapping.keys())
+        dev_ids = np.asarray(list(mapping.keys()), np.int32)
+        cpu_ids = np.asarray([mapping[int(d)] for d in dev_ids], np.int32)
+        plan = [np.array([4], np.int32), dev_ids, cpu_ids]
+        self._broadcast_plan(plan)
+        self._exec_swap_out(plan)
+
+    def _exec_swap_out(self, plan: List[np.ndarray]) -> None:
+        """Dispatch the device-side gather and queue the host copy:
+        the step program behind it starts immediately (jax async
+        dispatch) while the staged blocks trickle to the host; the
+        host copy lands lazily in _drain_swap_outs (a synchronous
+        np.asarray here stalled the whole step — and on a not-ready
+        buffer costs the ~30 ms tunnel poll floor per array)."""
+        dev_ids = plan[1]
         bucket = pick_bucket(PAIR_BUCKETS, len(dev_ids))
         padded = np.full((bucket,), 0, np.int32)
         padded[:len(dev_ids)] = dev_ids
         staged = self._gather_fn(self.kv_cache, jnp.asarray(padded))
-        n = len(dev_ids)
-        cpu_ids = [mapping[d] for d in dev_ids]
-        # staged.data: [L, P, BS, 2, KVH, D]; host pools are block-major.
-        self.host_pool[cpu_ids] = np.moveaxis(
-            np.asarray(staged.data)[:, :n], 1, 0)
-        if self.kv_quantized:
-            self.host_scales[cpu_ids] = np.moveaxis(
-                np.asarray(staged.scales)[:, :n], 1, 0)
+        self._pending_swap_outs.append(
+            (staged, [int(c) for c in plan[2]], len(dev_ids)))
+
+    def _drain_swap_outs(self) -> None:
+        """Land queued swap-outs in the host pool (this process's
+        shard only — no cross-host traffic)."""
+        for staged, cpu_ids, n in self._pending_swap_outs:
+            # staged.data: [L, P, 2, KVH, BS, D]; host pools block-major.
+            data = self._local_np(staged.data, self._kv_slices)
+            self.host_pool[cpu_ids] = np.moveaxis(data[:, :n], 1, 0)
+            if self.kv_quantized:
+                scales = self._local_np(staged.scales, self._scale_slices)
+                self.host_scales[cpu_ids] = np.moveaxis(
+                    scales[:, :n], 1, 0)
+        self._pending_swap_outs.clear()
+
+    def _local_np(self, arr, slices) -> np.ndarray:
+        """This process's contiguous slice of a sharded array as numpy
+        (assembled from addressable shards; never fetches remote
+        shards)."""
+        if self._num_processes == 1:
+            return np.asarray(arr)
+        lo, _ = slices
+        shape = list(self._local_shape(slices))
+        shape[1] = arr.shape[1]  # block axis: staged buckets vary
+        out = np.empty(tuple(shape), arr.dtype)
+        for shard in arr.addressable_shards:
+            dest = tuple(
+                slice((sl.start or 0) - (lo[ax] if ax != 1 else 0),
+                      (sl.stop if sl.stop is not None else arr.shape[ax]) -
+                      (lo[ax] if ax != 1 else 0))
+                for ax, sl in enumerate(shard.index))
+            out[dest] = np.asarray(shard.data)
+        return out
 
     def _swap_in(self, mapping: Dict[int, int]) -> None:
-        cpu_ids = list(mapping.keys())
-        dev_ids = [mapping[c] for c in cpu_ids]
+        cpu_ids = np.asarray(list(mapping.keys()), np.int32)
+        dev_ids = np.asarray([mapping[int(c)] for c in cpu_ids], np.int32)
+        plan = [np.array([5], np.int32), cpu_ids, dev_ids]
+        self._broadcast_plan(plan)
+        self._exec_swap_in(plan)
+
+    def _exec_swap_in(self, plan: List[np.ndarray]) -> None:
+        self._drain_swap_outs()  # pool must be current before reading
+        cpu_ids = [int(c) for c in plan[1]]
+        dev_ids = [int(d) for d in plan[2]]
         n = len(cpu_ids)
         bucket = pick_bucket(PAIR_BUCKETS, n)
-        blocks = np.zeros(self._kv_shape(bucket),
-                          dtype=self.host_pool.dtype)
-        blocks[:, :n] = np.moveaxis(self.host_pool[cpu_ids], 0, 1)
-        scales = None
-        if self.kv_quantized:
-            scales = np.zeros(self._scales_shape(bucket), np.float32)
-            scales[:, :n] = np.moveaxis(self.host_scales[cpu_ids], 0, 1)
-        staged = jax.device_put(
-            KVCache(jnp.asarray(blocks),
-                    None if scales is None else jnp.asarray(scales)),
-            self._kv_sharding)
+        staged = KVCache(
+            self._make_staged(self.host_pool, self._kv_shape(bucket),
+                              n, cpu_ids, KV_CACHE_SPEC),
+            self._make_staged(self.host_scales, self._scales_shape(bucket),
+                              n, cpu_ids, KV_SCALES_SPEC)
+            if self.kv_quantized else None)
+        if self._num_processes == 1:
+            staged = jax.device_put(staged, self._kv_sharding)
         self.kv_cache = self._scatter_fn(
             self.kv_cache, jnp.asarray(self._pad_ids(dev_ids, bucket)),
             staged)
+
+    def _make_staged(self, pool, global_shape, n, cpu_ids, spec):
+        """Assemble the staged swap-in blocks from this process's pool:
+        multi-host builds a global sharded array via
+        make_array_from_process_local_data; single-host returns a plain
+        array the caller device_puts."""
+        blocks = np.zeros((pool.shape[1], global_shape[1]) + pool.shape[2:],
+                          pool.dtype)
+        blocks[:, :n] = np.moveaxis(pool[cpu_ids], 0, 1)
+        if self._num_processes == 1:
+            return jnp.asarray(blocks)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self.mesh, spec), blocks, global_shape)
 
     def _copy(self, mapping: Dict[int, List[int]]) -> None:
         pairs = [(s, d) for s, dsts in mapping.items() for d in dsts]
@@ -638,12 +725,18 @@ class TPUWorker:
         """Follower side: replay one broadcast step. Outputs are
         replicated; only the driver reads them."""
         kind = int(plan[0][0])
+        if len(self._pending_swap_outs) >= 2 and kind != 5:
+            self._drain_swap_outs()  # kind 5 drains itself
         if kind == 0:
             self._exec_mixed(plan)
         elif kind == 1:
             self._exec_decode(plan)
         elif kind == 2:
             self._exec_copy(plan)
+        elif kind == 4:
+            self._exec_swap_out(plan)
+        elif kind == 5:
+            self._exec_swap_in(plan)
         else:
             raise ValueError(f"unknown plan kind {kind}")
 
