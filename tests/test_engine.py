@@ -324,3 +324,30 @@ def test_penalties_chunked_matches_single_step(checkpoint):
         SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True),
         use_tqdm=False)
     assert plain.outputs[0].token_ids != outs[4]
+
+
+def test_async_scheduling_matches_sync(checkpoint):
+    """One-step-lagged dispatch must not change any sampled token:
+    greedy + parallel sampling + preemption-tight blocks, async vs
+    sync."""
+    prompts = ["hello tpu", "a b c d", "zz"]
+    params = SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True)
+    results = {}
+    for mode in (False, True):
+        llm = make_llm(checkpoint, num_decode_steps=2,
+                       num_device_blocks_override=20,
+                       async_scheduling=mode)
+        outs = llm.generate(prompts, params, use_tqdm=False)
+        results[mode] = [o.outputs[0].token_ids for o in outs]
+    assert results[True] == results[False]
+
+
+def test_async_parallel_sampling_seeded_rows(checkpoint):
+    """Async token feed must route sample j to sequence j (parallel
+    sampling rows feed from samples[j], not the argmax row)."""
+    params = SamplingParams(n=3, temperature=0.8, top_p=0.95, max_tokens=6,
+                            ignore_eos=True)
+    llm = make_llm(checkpoint, async_scheduling=True)
+    [out] = llm.generate("sample feed", params, use_tqdm=False)
+    assert len(out.outputs) == 3
+    assert all(len(c.token_ids) == 6 for c in out.outputs)

@@ -82,6 +82,9 @@ class SchedulerOutputs:
         # overhead, which on a tunneled TPU runtime dominates small
         # decode steps.
         self.num_decode_steps = num_decode_steps
+        # Filled by Scheduler.schedule (async scheduling passes these
+        # back to update()).
+        self.scheduled_groups: List[SequenceGroup] = []
         # Swap-in and swap-out must never happen in the same step: the
         # plan would otherwise race on host-buffer slots.
         assert not (blocks_to_swap_in and blocks_to_swap_out)
@@ -162,6 +165,10 @@ class Scheduler:
         """Decide this step's batch; mutates queue/block state."""
         outputs, scheduled_groups = self._schedule()
         self._last_scheduled = [g for g, _ in scheduled_groups]
+        # Async scheduling dispatches the NEXT step before applying
+        # this one's outputs, so the engine passes these groups back to
+        # update() explicitly instead of relying on _last_scheduled.
+        outputs.scheduled_groups = self._last_scheduled
 
         metadata_list: List[SequenceGroupMetadata] = []
         for seq_group, is_prompt in scheduled_groups:
@@ -396,8 +403,12 @@ class Scheduler:
         while queue:
             seq_group = queue.popleft()
             group_steps = self._group_steps(seq_group, num_steps)
-            while not self.block_manager.can_append_slot(seq_group,
-                                                         group_steps):
+            pending = max(
+                (s.data.pending_tokens
+                 for s in seq_group.get_seqs(status=SequenceStatus.RUNNING)),
+                default=0)
+            while not self.block_manager.can_append_slot(
+                    seq_group, group_steps + pending):
                 if queue:
                     # Evict the lowest-priority group.
                     victim = queue.pop()
@@ -448,6 +459,7 @@ class Scheduler:
     def update(
         self,
         seq_outputs: Dict[int, SequenceOutputs],
+        scheduled_groups: Optional[List[SequenceGroup]] = None,
     ) -> List[SequenceGroup]:
         """Apply one step's sampled tokens; handle beam forks.
 
@@ -455,9 +467,13 @@ class Scheduler:
         updated (and returned): a decode chunk's later token sets don't
         cover beam groups (they run single-step beside the chunk), and
         a mixed step's outputs cover prompt + decode groups at once.
+        ``scheduled_groups`` identifies the step being applied (async
+        scheduling may have scheduled a newer step since).
         """
+        if scheduled_groups is None:
+            scheduled_groups = self._last_scheduled
         updated: List[SequenceGroup] = []
-        for seq_group in self._last_scheduled:
+        for seq_group in scheduled_groups:
             if not any(seq.seq_id in seq_outputs for seq in
                        seq_group.get_seqs(status=SequenceStatus.RUNNING)):
                 continue
@@ -487,7 +503,9 @@ class Scheduler:
         num_steps: int = 1,
     ) -> None:
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            cow = self.block_manager.append_slot(seq, num_steps)
+            # Reserve past any in-flight (async-dispatched) tokens too.
+            cow = self.block_manager.append_slot(
+                seq, num_steps + seq.data.pending_tokens)
             if cow is not None:
                 src, dst = cow
                 blocks_to_copy.setdefault(src, []).append(dst)

@@ -42,6 +42,10 @@ class EngineArgs:
     num_decode_steps: int = 1
     admit_min_free_slots: Optional[int] = None
     max_admit_delay_s: float = 0.3
+    # One-step-lagged dispatch: overlap host work + result polling with
+    # device execution (single-process; auto-falls-back around
+    # beam/penalty requests). Outputs lag one iteration.
+    async_scheduling: bool = True
     num_device_blocks_override: Optional[int] = None
     disable_log_stats: bool = False
     # Compile every bucketed step program at startup instead of on
@@ -109,6 +113,10 @@ class EngineArgs:
         parser.add_argument("--max-admit-delay-s", type=float, default=0.3,
                             help="TTFT guard: max seconds a head-of-queue "
                             "prompt waits past the previous admission")
+        parser.add_argument("--disable-async-scheduling",
+                            dest="async_scheduling", action="store_false",
+                            help="fetch each step's results before "
+                            "scheduling the next (easier to debug; slower)")
         parser.add_argument("--num-device-blocks-override", type=int,
                             default=None)
         parser.add_argument("--disable-log-stats", action="store_true")

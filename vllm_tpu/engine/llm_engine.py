@@ -45,6 +45,7 @@ class LLMEngine:
         tokenizer: Any = None,
         precompile: bool = False,
         profile_dir: Optional[str] = None,
+        async_scheduling: bool = True,
     ) -> None:
         logger.info(
             "Initializing engine: model=%r, dtype=%s, kv_cache=%s, "
@@ -75,6 +76,18 @@ class LLMEngine:
         self.scheduler = Scheduler(scheduler_config, cache_config, log_stats)
         self.profile_dir = profile_dir
         self._profiling = False
+        # Async (one-step-lagged) scheduling: dispatch iteration N+1
+        # before fetching N's results, overlapping ALL host work
+        # (apply, detokenize, stop checks, next schedule + dispatch)
+        # with device execution. Requires single-process (plans carry
+        # device-fed token arrays) and falls back to synchronous when
+        # beam/penalty requests are present (their host bookkeeping /
+        # count state needs last step's values).
+        import jax
+        self.async_scheduling = async_scheduling and jax.process_count() == 1
+        # (metadata_list, sched_out, worker handle) of the dispatched,
+        # not-yet-applied iteration.
+        self._inflight: Optional[Tuple[Any, Any, Any]] = None
         # Per-step-kind wall-clock accounting (SURVEY §5 tracing row):
         # device+dispatch time vs host bookkeeping time per iteration.
         self.perf = {
@@ -91,7 +104,8 @@ class LLMEngine:
                    log_stats=not engine_args.disable_log_stats,
                    tokenizer=tokenizer,
                    precompile=engine_args.precompile,
-                   profile_dir=engine_args.profile_dir)
+                   profile_dir=engine_args.profile_dir,
+                   async_scheduling=engine_args.async_scheduling)
 
     # -- profiling (SURVEY §5 tracing; no reference analog beyond
     # benchmark_latency.py's cudaProfilerStart bracket) -------------------
@@ -163,19 +177,82 @@ class LLMEngine:
     # -- the iteration -------------------------------------------------------
 
     def step(self) -> List[RequestOutput]:
-        """One engine iteration: schedule, run the device program,
-        apply outputs, detokenize, check stops."""
+        """One engine iteration.
+
+        Synchronous mode: schedule, run the device program, apply
+        outputs, detokenize, check stops. Async mode: schedule and
+        DISPATCH this iteration, then apply the PREVIOUS iteration's
+        results while the device runs — host work and the runtime's
+        result-poll latency disappear behind device execution. Outputs
+        therefore lag one iteration in async mode.
+        """
         t0 = time.perf_counter()
+        pipeline = self.async_scheduling and not self._pipeline_blockers()
+        outputs: List[RequestOutput] = []
+        if self._inflight is not None and not pipeline:
+            outputs += self._apply_inflight()
+
         metadata_list, sched_out = self.scheduler.schedule()
-
         has_work = (metadata_list or sched_out.blocks_to_swap_in
-                    or sched_out.blocks_to_swap_out or sched_out.blocks_to_copy)
-        if not has_work and not sched_out.ignored_seq_groups:
-            return []
-
+                    or sched_out.blocks_to_swap_out
+                    or sched_out.blocks_to_copy)
         t1 = time.perf_counter()
-        step_outputs = self.worker.execute_step(metadata_list, sched_out)
+        if has_work:
+            handle = self.worker.dispatch_step(metadata_list, sched_out)
+            self._mark_pending(metadata_list, sched_out)
+            prev = self._inflight
+            self._inflight = (metadata_list, sched_out, handle,
+                              time.perf_counter() - t1, t1 - t0)
+            if prev is not None:
+                outputs += self._apply(prev)
+            if not pipeline:
+                outputs += self._apply_inflight()
+        elif self._inflight is not None:
+            outputs += self._apply_inflight()
+
+        outputs += [
+            RequestOutput.from_seq_group(g)
+            for g in sched_out.ignored_seq_groups
+        ]
+        return outputs
+
+    def _pipeline_blockers(self) -> bool:
+        """Sampling modes whose host bookkeeping needs each token
+        before the next step can be scheduled."""
+        for queue in (self.scheduler.running, self.scheduler.swapped,
+                      self.scheduler.waiting):
+            for group in queue:
+                p = group.sampling_params
+                if (p.use_beam_search or p.presence_penalty != 0
+                        or p.frequency_penalty != 0):
+                    return True
+        return False
+
+    @staticmethod
+    def _step_tokens(md, sched_out) -> int:
+        """Tokens one dispatched iteration produces for ``md``'s seqs."""
+        return (1 if (md.is_prompt or md.sampling_params.use_beam_search)
+                else sched_out.num_decode_steps)
+
+    def _mark_pending(self, metadata_list, sched_out) -> None:
+        for md in metadata_list:
+            steps = self._step_tokens(md, sched_out)
+            for data in md.seq_data.values():
+                data.pending_tokens += steps
+
+    def _apply_inflight(self) -> List[RequestOutput]:
+        prev, self._inflight = self._inflight, None
+        return self._apply(prev) if prev is not None else []
+
+    def _apply(self, inflight) -> List[RequestOutput]:
+        metadata_list, sched_out, handle, dispatch_s, sched_s = inflight
         t2 = time.perf_counter()
+        step_outputs = self.worker.fetch_step(handle)
+        t3 = time.perf_counter()
+        for md in metadata_list:
+            steps = self._step_tokens(md, sched_out)
+            for data in md.seq_data.values():
+                data.pending_tokens = max(0, data.pending_tokens - steps)
 
         # A decode chunk carries num_decode_steps token sets; apply them
         # in order, re-checking stop conditions between sets so finished
@@ -185,7 +262,8 @@ class LLMEngine:
         # updated groups across sets.
         seen_groups: dict = {}
         for seq_outputs in step_outputs:
-            for seq_group in self.scheduler.update(seq_outputs):
+            for seq_group in self.scheduler.update(
+                    seq_outputs, sched_out.scheduled_groups):
                 self._decode_sequences(seq_group)
                 self._stop_sequences(seq_group)
                 seen_groups[id(seq_group)] = seq_group
@@ -193,13 +271,13 @@ class LLMEngine:
 
         request_outputs = [
             RequestOutput.from_seq_group(g)
-            for g in list(seen_groups.values()) + sched_out.ignored_seq_groups
+            for g in seen_groups.values()
         ]
         p = self.perf[sched_out.kind.name]
         p["steps"] += 1
-        p["sched_s"] += t1 - t0
-        p["exec_s"] += t2 - t1
-        p["host_s"] += time.perf_counter() - t2
+        p["sched_s"] += sched_s
+        p["exec_s"] += dispatch_s + (t3 - t2)
+        p["host_s"] += time.perf_counter() - t3
         n_dec = sum(
             len(md.seq_data) for md in metadata_list if not md.is_prompt)
         p["decode_tokens"] += n_dec * sched_out.num_decode_steps

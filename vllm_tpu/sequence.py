@@ -58,6 +58,11 @@ class SequenceData:
         self.prompt_token_ids = prompt_token_ids
         self.output_token_ids: List[int] = []
         self.cumulative_logprob = 0.0
+        # Tokens computed by a dispatched-but-not-yet-fetched step
+        # (async scheduling): the scheduler reserves KV slots for them
+        # and the executor positions past them; their values live on
+        # device until the engine applies the step's outputs.
+        self.pending_tokens = 0
 
     def append_token_id(self, token_id: int, logprob: float) -> None:
         self.output_token_ids.append(token_id)
