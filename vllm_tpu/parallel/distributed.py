@@ -38,15 +38,36 @@ _HEADER_LEN = 16
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
+                     process_id: Optional[int] = None,
+                     tensor_parallel_size: Optional[int] = None) -> None:
     """`jax.distributed.initialize` wrapper (one call per process,
-    before any jax device use)."""
+    before any jax device use), with the cluster-shape validation the
+    reference does at Ray init (ray_utils.py:49-76): every process must
+    contribute the same device count, and the requested parallelism
+    must divide evenly across them."""
     import jax
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    local = jax.local_device_count()
+    total = jax.device_count()
+    if total != local * jax.process_count():
+        raise RuntimeError(
+            f"Uneven cluster: {total} global devices across "
+            f"{jax.process_count()} processes with {local} local — every "
+            "host must contribute the same number of chips.")
+    if tensor_parallel_size is not None:
+        if tensor_parallel_size % local != 0:
+            raise RuntimeError(
+                f"tensor_parallel_size={tensor_parallel_size} must be a "
+                f"multiple of the {local} chips per host (KV shards "
+                "cannot straddle partial hosts).")
+        if tensor_parallel_size > total:
+            raise RuntimeError(
+                f"tensor_parallel_size={tensor_parallel_size} exceeds the "
+                f"{total} devices in the cluster.")
     logger.info("Distributed runtime: process %d/%d, %d local / %d global "
                 "devices.", jax.process_index(), jax.process_count(),
                 jax.local_device_count(), jax.device_count())

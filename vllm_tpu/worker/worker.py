@@ -524,49 +524,56 @@ class TPUWorker:
         cfg = self.scheduler_config
         t0 = time.perf_counter()
         hist0 = self._hist_buckets[0]
-        key = self._base_key
 
-        def tensors(n):
-            f32 = jnp.float32
-            return SamplingTensors(
-                jnp.zeros((n,), f32), jnp.ones((n,), f32),
-                jnp.ones((n,), jnp.int32), jnp.zeros((n,), f32),
-                jnp.zeros((n,), f32),
-                jnp.full((n, hist0), int(PAD_TOKEN), jnp.int32))
+        # Build all-padding PLANS and run them through the exact
+        # serving exec path (_exec_mixed / _exec_decode): a retrace of
+        # a 7B step program costs ~56 s of pure Python tracing, and
+        # hand-crafted device arrays here repeatedly proved subtly
+        # different from the serving plans' arrays (provenance/
+        # commitment), silently re-tracing+compiling mid-serving
+        # despite "precompilation". Same code path => identical avals
+        # by construction.
+        def sampling_arrays(n):
+            return [
+                np.zeros((n,), np.float32),  # temperature (0 = greedy)
+                np.ones((n,), np.float32),  # top_p
+                np.ones((n,), np.int32),  # top_k
+                np.zeros((n,), np.float32),  # presence
+                np.zeros((n,), np.float32),  # frequency
+                np.full((n, hist0), int(PAD_TOKEN), np.int32),  # history
+            ]
 
         S = cfg.max_prefill_seqs
         MB = self._block_buckets[-1]
         Btop = cfg.decode_batch_buckets[-1]
 
-        def pad_decode(B):
-            return DecodeBatch(
-                token_ids=jnp.zeros((B,), jnp.int32),
-                positions=jnp.zeros((B,), jnp.int32),
-                slot_mapping=jnp.full((B,), int(PAD_SLOT), jnp.int32),
-                block_tables=jnp.zeros((B, MB), jnp.int32),
-                context_lens=jnp.zeros((B,), jnp.int32),
-            )
+        def decode_arrays(B):
+            tokens = self._tokens_with_feed(np.zeros((B,), np.int32), [])
+            return [
+                tokens,
+                np.zeros((B,), np.int32),  # positions
+                np.full((B,), int(PAD_SLOT), np.int32),  # slot_mapping
+                np.zeros((B, MB), np.int32),  # block_tables
+                np.zeros((B,), np.int32),  # context_lens
+            ]
 
         for T in cfg.prefill_token_buckets:
             NP = T // self.block_size + S
-            batch = MixedBatch(
-                PrefillBatch(
-                    token_ids=jnp.zeros((T,), jnp.int32),
-                    positions=jnp.zeros((T,), jnp.int32),
-                    seq_ids=jnp.full((T,), -1, jnp.int32),
-                    slot_mapping=jnp.full((T,), int(PAD_SLOT), jnp.int32),
-                    logits_indices=jnp.zeros((S,), jnp.int32),
-                    page_src=jnp.zeros((NP,), jnp.int32),
-                    page_dst=jnp.full((NP,), -1, jnp.int32),
-                ), pad_decode(Btop))
-            fn = self._make_step_fn("mixed", 1, 1, hist0, greedy_only=True)
-            self.kv_cache, _ = fn(self.params, self.kv_cache, batch,
-                                  tensors(S + Btop), key)
+            plan = ([np.array([0, 1, 1, 1, 0], np.int32)] + [
+                np.zeros((T,), np.int32),  # token_ids
+                np.zeros((T,), np.int32),  # positions
+                np.full((T,), -1, np.int32),  # seq_ids
+                np.full((T,), int(PAD_SLOT), np.int32),  # slot_mapping
+                np.zeros((S,), np.int32),  # logits_indices
+                np.zeros((NP,), np.int32),  # page_src
+                np.full((NP,), -1, np.int32),  # page_dst
+            ] + decode_arrays(Btop) + sampling_arrays(S + Btop))
+            self._exec_mixed(plan)
         for B in cfg.decode_batch_buckets:
-            fn = self._make_step_fn("decode", 1, 1, hist0,
-                                    cfg.num_decode_steps, greedy_only=True)
-            self.kv_cache, _ = fn(self.params, self.kv_cache, pad_decode(B),
-                                  tensors(B), key)
+            plan = ([
+                np.array([1, cfg.num_decode_steps, 1, 1, 0], np.int32)
+            ] + decode_arrays(B) + sampling_arrays(B))
+            self._exec_decode(plan)
         jax.block_until_ready(self.kv_cache.data)
         logger.info(
             "Precompiled %d mixed + %d decode programs in %.1f s.",
@@ -929,42 +936,85 @@ class TPUWorker:
 
     # -- async token feed ----------------------------------------------
 
+    @functools.cached_property
+    def _feed_patch_fn(self):
+        # Jitted: per-step EAGER device ops dispatch op-by-op through
+        # the tunneled runtime and cost orders of magnitude more than
+        # the same math compiled (see model_loader's dummy-weight
+        # note); one compile per (bucket) shape, cached.
+        def patch(tokens, idx, feed):
+            return jnp.where(idx < 0, tokens, feed[jnp.clip(idx, 0, None)])
+
+        return jax.jit(patch)
+
+    @functools.cached_property
+    def _feed_select_fn(self):
+        def select(samples, topk, rows, js, greedy):
+            return jnp.where(greedy, topk[rows, 0], samples[js, rows])
+
+        return jax.jit(select)
+
+    @functools.cached_property
+    def _feed_select_stepped_fn(self):
+        def select(samples, topk, rows, js, greedy):
+            return jnp.where(greedy, topk[-1][rows, 0],
+                             samples[-1][js, rows])
+
+        return jax.jit(select)
+
     def _tokens_with_feed(self, tokens: np.ndarray, row_seq) -> Any:
         """Patch rows whose sequences have in-flight tokens with the
-        previous step's on-device next-token values (a tiny eager
-        gather — no host sync)."""
-        need = [(i, sid) for i, (md, sid) in enumerate(row_seq)
-                if md.seq_data[sid].pending_tokens > 0]
-        if not need:
+        previous step's on-device next-token values (one jitted
+        gather — no host sync).
+
+        ALWAYS applied single-process, even with nothing to patch: the
+        step programs must see one consistent token-array provenance —
+        a numpy input on some steps and a committed device array on
+        others silently compiled a SECOND variant of each 7B program
+        mid-serving (~50 s stall despite precompile).
+        """
+        if self._num_processes > 1:
+            # Multi-host plans stay host arrays; async scheduling (and
+            # so pending rows) is disabled there.
+            assert not any(md.seq_data[sid].pending_tokens
+                           for md, sid in row_seq), (
+                "async scheduling requires single-process")
             return tokens
-        assert self._feed is not None, "pending rows but no token feed"
-        assert self._num_processes == 1, (
-            "async scheduling requires single-process (plans broadcast "
-            "as host arrays)")
-        feed_tokens, feed_map = self._feed
         idx = np.full(tokens.shape, -1, np.int32)
-        for i, sid in need:
-            idx[i] = feed_map[sid]
-        idx_dev = jnp.asarray(idx)
-        return jnp.where(idx_dev < 0, jnp.asarray(tokens),
-                         feed_tokens[jnp.clip(idx_dev, 0, None)])
+        if self._feed is not None:
+            feed_tokens, feed_map = self._feed
+            for i, (md, sid) in enumerate(row_seq):
+                if md.seq_data[sid].pending_tokens > 0:
+                    idx[i] = feed_map[sid]
+        else:
+            feed_tokens = self._placeholder_feed
+        return self._feed_patch_fn(tokens, idx, feed_tokens)
+
+    @functools.cached_property
+    def _placeholder_feed(self):
+        return jnp.zeros((self.scheduler_config.max_num_seqs,), jnp.int32)
 
     def _build_feed(self, out, entries, stepped: bool) -> None:
         """Record the next input token per sequence from a dispatched
         step's device outputs. entries: (seq_id, row, sample_j) with
         sample_j < 0 meaning greedy (argmax row). ``stepped``: the out
-        leaves carry a leading fused-step axis (use the last step)."""
+        leaves carry a leading fused-step axis (use the last step).
+        Entry arrays pad to max_num_seqs so the jitted select compiles
+        once per output-bucket shape."""
         if not entries:
             self._feed = None
             return
-        samples = out.samples
-        topk = out.topk_ids
-        if stepped:
-            samples, topk = samples[-1], topk[-1]
-        rows = jnp.asarray([r for _, r, _ in entries])
-        js = jnp.asarray([max(j, 0) for _, _, j in entries])
-        greedy = jnp.asarray([j < 0 for _, _, j in entries])
-        tokens = jnp.where(greedy, topk[rows, 0], samples[js, rows])
+        pad = max(self.scheduler_config.max_num_seqs, len(entries))
+        rows = np.zeros((pad,), np.int32)
+        js = np.zeros((pad,), np.int32)
+        greedy = np.ones((pad,), bool)
+        for i, (_, r, j) in enumerate(entries):
+            rows[i] = r
+            js[i] = max(j, 0)
+            greedy[i] = j < 0
+        fn = (self._feed_select_stepped_fn
+              if stepped else self._feed_select_fn)
+        tokens = fn(out.samples, out.topk_ids, rows, js, greedy)
         self._feed = (tokens, {sid: i
                                for i, (sid, _, _) in enumerate(entries)})
 
