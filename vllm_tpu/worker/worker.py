@@ -936,23 +936,28 @@ class TPUWorker:
 
     # -- async token feed ----------------------------------------------
 
+    # The feed fns pin their output sharding: the step programs' outputs
+    # carry the mesh ({Auto: ('data','model')} avals), and letting that
+    # propagate through the feed into the next step's token input gave
+    # it a DIFFERENT type than precompile's mesh-less padding array —
+    # one full re-trace + lower of a 7B program (~60 s) on the first
+    # async step, despite identical shapes/dtypes. Jitted rather than
+    # eager because per-step eager ops dispatch op-by-op through the
+    # tunneled runtime (orders of magnitude slower).
+
     @functools.cached_property
     def _feed_patch_fn(self):
-        # Jitted: per-step EAGER device ops dispatch op-by-op through
-        # the tunneled runtime and cost orders of magnitude more than
-        # the same math compiled (see model_loader's dummy-weight
-        # note); one compile per (bucket) shape, cached.
         def patch(tokens, idx, feed):
             return jnp.where(idx < 0, tokens, feed[jnp.clip(idx, 0, None)])
 
-        return jax.jit(patch)
+        return jax.jit(patch, out_shardings=self._rep)
 
     @functools.cached_property
     def _feed_select_fn(self):
         def select(samples, topk, rows, js, greedy):
             return jnp.where(greedy, topk[rows, 0], samples[js, rows])
 
-        return jax.jit(select)
+        return jax.jit(select, out_shardings=self._rep)
 
     @functools.cached_property
     def _feed_select_stepped_fn(self):
@@ -960,7 +965,7 @@ class TPUWorker:
             return jnp.where(greedy, topk[-1][rows, 0],
                              samples[-1][js, rows])
 
-        return jax.jit(select)
+        return jax.jit(select, out_shardings=self._rep)
 
     def _tokens_with_feed(self, tokens: np.ndarray, row_seq) -> Any:
         """Patch rows whose sequences have in-flight tokens with the
