@@ -21,6 +21,7 @@ Both are fully padded/bucketed; padding tokens carry PAD_SLOT slot ids
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from vllm_tpu.ops import paged_decode_attention, prefill_attention, write_kv
@@ -152,6 +153,48 @@ def maybe_quantize_shardings(model, shardings):
     from vllm_tpu.ops.quant import quantize_model_shardings
     return quantize_model_shardings(shardings, model.QUANT_LAYER_KEYS,
                                     model.QUANT_TOP_KEYS)
+
+
+def stack_layers(layers: list) -> dict:
+    """List of per-layer param dicts -> one dict of [L, ...]-stacked
+    leaves, the shape ``lax.scan`` slices per iteration. Tracing and
+    lowering a 7B model UNROLLED (32 inlined layers) cost ~56 s + 54 s
+    per step program; scanning one traced layer cuts both ~10-20x
+    (startup, and every new program variant)."""
+    out = {}
+    for key in layers[0]:
+        leaves = [lp[key] for lp in layers]
+        out[key] = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+    return out
+
+
+def stack_layer_specs(spec: dict) -> dict:
+    """Prepend the stacked-layer axis (replicated) to each leaf spec."""
+    from jax.sharding import PartitionSpec as P
+
+    def one(s):
+        return P(*((None,) + tuple(s)))
+
+    return {k: jax.tree.map(one, v,
+                            is_leaf=lambda x: isinstance(x, P))
+            for k, v in spec.items()}
+
+
+def scan_layers(layer_fn, num_layers: int, params_layers, h, batch,
+                kv_cache):
+    """Run ``layer_fn(lp, idx, h, batch, kv_cache)`` over the stacked
+    layer params with a single traced body."""
+
+    def body(carry, xs):
+        h, kv = carry
+        lp, idx = xs
+        h, kv = layer_fn(lp, idx, h, batch, kv)
+        return (h, kv), None
+
+    (h, kv_cache), _ = jax.lax.scan(
+        body, (h, kv_cache),
+        (params_layers, jnp.arange(num_layers, dtype=jnp.int32)))
+    return h, kv_cache
 
 
 def gather_last_hidden(hidden: jnp.ndarray, batch) -> jnp.ndarray:

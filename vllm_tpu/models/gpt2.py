@@ -14,7 +14,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vllm_tpu.models.common import (attend, dense,
-                                    maybe_quantize_shardings)
+                                    maybe_quantize_shardings,
+                                    scan_layers, stack_layer_specs,
+                                    stack_layers)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
 
@@ -48,8 +50,8 @@ class GPT2Model:
     def forward(self, params, batch, kv_cache):
         h = params["wte"][batch.token_ids].astype(self.dtype)
         h = h + params["wpe"][batch.positions].astype(self.dtype)
-        for i, lp in enumerate(params["layers"]):
-            h, kv_cache = self._layer(lp, i, h, batch, kv_cache)
+        h, kv_cache = scan_layers(self._layer, self.layers,
+                                  params["layers"], h, batch, kv_cache)
         h = layer_norm(h, *params["ln_f"], eps=self.eps)
         return h, kv_cache
 
@@ -106,7 +108,7 @@ class GPT2Model:
         return {
             "wte": u(self.vocab, H),
             "wpe": u(self.max_pos, H),
-            "layers": layers,
+            "layers": stack_layers(layers),
             "ln_f": ln(),
         }
 
@@ -168,6 +170,7 @@ class GPT2Model:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
+        params["layers"] = stack_layers(params["layers"])
         return params
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -188,6 +191,6 @@ class GPT2Model:
             self, {
                 "wte": P("model", None),
                 "wpe": P(None, None),
-                "layers": [dict(layer) for _ in range(self.layers)],
+                "layers": stack_layer_specs(layer),
                 "ln_f": ln,
             })

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vllm_tpu.models.common import (attend, dense,
-                                    maybe_quantize_shardings)
+                                    maybe_quantize_shardings,
+                                    scan_layers, stack_layer_specs,
+                                    stack_layers)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, get_act_fn, layer_norm
 
 
@@ -53,8 +55,8 @@ class GPTNeoXModel:
 
     def forward(self, params, batch, kv_cache):
         h = params["embed_in"][batch.token_ids].astype(self.dtype)
-        for i, lp in enumerate(params["layers"]):
-            h, kv_cache = self._layer(lp, i, h, batch, kv_cache)
+        h, kv_cache = scan_layers(self._layer, self.layers,
+                                  params["layers"], h, batch, kv_cache)
         h = layer_norm(h, *params["final_layer_norm"], eps=self.eps)
         return h, kv_cache
 
@@ -123,7 +125,7 @@ class GPTNeoXModel:
             })
         return {
             "embed_in": u(self.vocab, H),
-            "layers": layers,
+            "layers": stack_layers(layers),
             "final_layer_norm": ln(),
             "embed_out": u(H, self.vocab),
         }
@@ -191,6 +193,7 @@ class GPTNeoXModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
+        params["layers"] = stack_layers(params["layers"])
         return params
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -210,7 +213,7 @@ class GPTNeoXModel:
         return maybe_quantize_shardings(
             self, {
                 "embed_in": P("model", None),
-                "layers": [dict(layer) for _ in range(self.layers)],
+                "layers": stack_layer_specs(layer),
                 "final_layer_norm": ln,
                 "embed_out": (P(None, "model")),
             })

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vllm_tpu.models.common import (attend, dense,
-                                    maybe_quantize_shardings)
+                                    maybe_quantize_shardings, scan_layers,
+                                    stack_layer_specs, stack_layers)
 from vllm_tpu.ops import apply_rope, compute_rope_cache, rms_norm
 
 
@@ -49,8 +50,8 @@ class LlamaModel:
 
     def forward(self, params, batch, kv_cache):
         h = params["embed_tokens"][batch.token_ids].astype(self.dtype)
-        for i, lp in enumerate(params["layers"]):
-            h, kv_cache = self._layer(lp, i, h, batch, kv_cache)
+        h, kv_cache = scan_layers(self._layer, self.layers,
+                                  params["layers"], h, batch, kv_cache)
         h = rms_norm(h, params["norm"], self.eps)
         return h, kv_cache
 
@@ -104,7 +105,7 @@ class LlamaModel:
             })
         return {
             "embed_tokens": u(self.vocab, H),
-            "layers": layers,
+            "layers": stack_layers(layers),
             "norm": jnp.ones((H,), jnp.float32),
             "lm_head": u(H, self.vocab),
         }
@@ -144,6 +145,7 @@ class LlamaModel:
                     raise ValueError(f"unexpected weight {name}")
             else:
                 raise ValueError(f"unexpected weight {name}")
+        params["layers"] = stack_layers(params["layers"])
         return params
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -165,7 +167,7 @@ class LlamaModel:
         return maybe_quantize_shardings(
             self, {
                 "embed_tokens": P("model", None),
-                "layers": [dict(layer) for _ in range(self.layers)],
+                "layers": stack_layer_specs(layer),
                 "norm": rep,
                 "lm_head": col,
             })

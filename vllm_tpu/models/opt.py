@@ -14,7 +14,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from vllm_tpu.models.common import (attend, dense,
-                                    maybe_quantize_shardings)
+                                    maybe_quantize_shardings,
+                                    scan_layers, stack_layer_specs,
+                                    stack_layers)
 from vllm_tpu.ops import get_act_fn, layer_norm
 
 # Parity: OPT checkpoints index position embeddings from 2
@@ -56,8 +58,8 @@ class OPTModel:
             h = dense(h, params["project_in"])
         pos = params["embed_positions"][batch.positions + POS_OFFSET]
         h = h + pos.astype(self.dtype)
-        for i, lp in enumerate(params["layers"]):
-            h, kv_cache = self._layer(lp, i, h, batch, kv_cache)
+        h, kv_cache = scan_layers(self._layer, self.layers,
+                                  params["layers"], h, batch, kv_cache)
         if "final_layer_norm" in params:
             h = layer_norm(h, *params["final_layer_norm"])
         if "project_out" in params:
@@ -123,7 +125,7 @@ class OPTModel:
         params = {
             "embed_tokens": u(self.vocab, self.embed_dim),
             "embed_positions": u(self.max_pos + POS_OFFSET, H),
-            "layers": layers,
+            "layers": stack_layers(layers),
         }
         if self.pre_ln:
             params["final_layer_norm"] = ln()
@@ -182,6 +184,7 @@ class OPTModel:
                     stash(lp, f"{i}/{leaf}", kind, wj)
             else:
                 raise ValueError(f"unexpected weight {name}")
+        params["layers"] = stack_layers(params["layers"])
         return params
 
     def param_shardings(self) -> Dict[str, Any]:
@@ -201,7 +204,7 @@ class OPTModel:
         shardings = {
             "embed_tokens": P("model", None),
             "embed_positions": P(None, None),
-            "layers": [dict(layer) for _ in range(self.layers)],
+            "layers": stack_layer_specs(layer),
         }
         if self.pre_ln:
             shardings["final_layer_norm"] = ln

@@ -34,13 +34,13 @@ def _interpret() -> bool:
 
 def _write_kernel(
     # scalar prefetch
+    layer_ref,  # [1] i32 (SMEM) — traced (scanned over layers)
     slots_ref,  # [B] i32 (SMEM)
     # inputs
     kv_ref,  # [B, 2, KVH, D] VMEM (K and V stacked per token)
     kv_in,  # [L, NB, 2, KVH, BS, D] HBM (aliased to data_out)
     *rest,  # [scale_ref, scales_in,] data_out [, scales_out], page_buf
             # [, spage_buf], sems
-    layer: int,
     block_size: int,
     num_blocks: int,
     quantized: bool,
@@ -54,6 +54,7 @@ def _write_kernel(
         (data_out, page_buf, sems) = rest
         scale_ref = scales_out = spage_buf = None
     B = kv_ref.shape[0]
+    layer = layer_ref[0]
 
     def page_copies(direction):
         out = []
@@ -112,12 +113,13 @@ def _write_kernel(
     run(1)  # pages back out
 
 
-@functools.partial(jax.jit, static_argnames=("layer",))
-def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
+@jax.jit
+def pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping):
     """Token-granularity paged KV write (decode path).
 
     kv_cache: KVCache; k, v: [B, KVH, D] (float — quantized here when
-    the cache is int8); slot_mapping: [B] i32, PAD_SLOT rows skipped.
+    the cache is int8); slot_mapping: [B] i32, PAD_SLOT rows skipped;
+    layer: i32 scalar (may be traced — scanned over layers).
     """
     from vllm_tpu.ops.cache import PAD_SLOT, KVCache, _combine_quantize
 
@@ -150,20 +152,20 @@ def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
             pltpu.VMEM((B,) + scales.shape[2:], scales.dtype))
     scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
     # Alias indices count flattened inputs INCLUDING the scalar-prefetch
-    # arg: slots=0, kv=1, data=2[, kv_scales=3, scales=4].
-    aliases = {2: 0}
+    # args: layer=0, slots=1, kv=2, data=3[, kv_scales=4, scales=5].
+    aliases = {3: 0}
     if quantized:
-        aliases[4] = 1
+        aliases[5] = 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shapes),
         scratch_shapes=scratch_shapes,
     )
     kernel = pl.pallas_call(
-        functools.partial(_write_kernel, layer=layer, block_size=BS,
+        functools.partial(_write_kernel, block_size=BS,
                           num_blocks=NB, quantized=quantized,
                           pad_slot=int(PAD_SLOT)),
         grid_spec=grid_spec,
@@ -171,7 +173,8 @@ def pallas_write_kv_tokens(kv_cache, layer: int, k, v, slot_mapping):
         input_output_aliases=aliases,
         interpret=_interpret(),
     )
-    outs = kernel(slot_mapping.astype(jnp.int32), kv, data, *operands)
+    outs = kernel(jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+                  slot_mapping.astype(jnp.int32), kv, data, *operands)
     if quantized:
         return KVCache(outs[0], outs[1])
     return KVCache(outs[0], None)

@@ -52,6 +52,9 @@ def _interpret() -> bool:
 
 def _decode_kernel(
     # scalar prefetch
+    layer_ref,  # [1] i32 (SMEM) — traced so one program serves the
+    #             lax.scan over layers (static layer unrolled 32
+    #             programs and made tracing/lowering dominate startup)
     block_tables_ref,  # [B, MB] i32 (SMEM)
     context_lens_ref,  # [B] i32 (SMEM)
     buffer_index_ref,  # [1] i32 (SMEM, mutable pipeline state)
@@ -60,7 +63,6 @@ def _decode_kernel(
     q_ref,  # [1, KVH, G, D] VMEM block for this sequence
     kv_hbm,  # [L, NB, 2, KVH, BS, D] full cache in HBM/ANY
     *rest,  # (scales_hbm,) o_ref, kv_buf, sems (, s_buf, s_sems)
-    layer: int,
     scale: float,
     block_size: int,
     pages: int,
@@ -74,6 +76,7 @@ def _decode_kernel(
 
     b = pl.program_id(0)
     B = pl.num_programs(0)
+    layer = layer_ref[0]
     mb = block_tables_ref.shape[1]
     chunk_tokens = pages * block_size
     ctx = context_lens_ref[b]
@@ -221,11 +224,11 @@ def _decode_kernel(
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("layer", "scale"))
+@functools.partial(jax.jit, static_argnames=("scale",))
 def pallas_paged_decode_attention(
     q: jnp.ndarray,  # [B, H, D]
     kv_cache: KVCache,  # payload [L, 2, NB, KVH, BS, D] (+scales)
-    layer: int,
+    layer,  # i32 scalar (may be traced — scanned over layers)
     block_tables: jnp.ndarray,  # [B, MB] i32
     context_lens: jnp.ndarray,  # [B] i32
     scale: float,
@@ -265,7 +268,7 @@ def pallas_paged_decode_attention(
         operands.append(scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
@@ -273,14 +276,15 @@ def pallas_paged_decode_attention(
     )
 
     kernel = pl.pallas_call(
-        functools.partial(_decode_kernel, layer=layer, scale=scale,
+        functools.partial(_decode_kernel, scale=scale,
                           block_size=BS, pages=pages, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
         interpret=_interpret(),
     )
 
-    out = kernel(block_tables.astype(jnp.int32),
+    out = kernel(jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+                 block_tables.astype(jnp.int32),
                  context_lens.astype(jnp.int32),
                  jnp.zeros((1,), jnp.int32),  # buffer_index
                  jnp.ones((1,), jnp.int32),  # init_flag

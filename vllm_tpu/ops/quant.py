@@ -34,17 +34,20 @@ class QuantizedLinear(NamedTuple):
 # float-tree + one int8 leaf (a whole-tree jit could hold both trees).
 @jax.jit
 def quantize_linear_weight(w: jnp.ndarray) -> QuantizedLinear:
-    """Symmetric per-output-channel int8 quantization of [in, out]."""
-    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    """Symmetric per-output-channel int8 quantization of [in, out]
+    (or layer-stacked [L, in, out] -> per-layer [L, out] scales)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
     scale = jnp.maximum(amax / _INT8_MAX, 1e-10)
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -_INT8_MAX,
-                 _INT8_MAX).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / scale[..., None, :]),
+        -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
     return QuantizedLinear(q, scale.astype(jnp.float32))
 
 
 def dequantize_linear(ql: QuantizedLinear,
                       dtype=jnp.float32) -> jnp.ndarray:
-    return (ql.w.astype(jnp.float32) * ql.scale).astype(dtype)
+    return (ql.w.astype(jnp.float32) *
+            ql.scale[..., None, :]).astype(dtype)
 
 
 def quantized_matmul(x: jnp.ndarray, ql: QuantizedLinear) -> jnp.ndarray:
@@ -66,9 +69,12 @@ def _quant_leaf(leaf):
 def _quant_leaf_sharding(spec):
     """Mirror _quant_leaf on a PartitionSpec leaf: the int8 payload
     keeps the weight's spec; per-column scales shard like the output
-    dim (column-parallel -> sharded scales, row-parallel -> replicated)."""
+    dim (column-parallel -> sharded scales, row-parallel -> replicated).
+    Layer-stacked specs ([None, in, out]) keep the leading layer axis
+    on the scales too."""
     def one(w_spec):
-        return QuantizedLinear(w_spec, P(w_spec[-1]))
+        lead = tuple(w_spec)[:-2]  # () or (None,) for stacked layers
+        return QuantizedLinear(w_spec, P(*(lead + (w_spec[-1],))))
 
     if isinstance(spec, tuple) and not isinstance(spec, P):
         w_spec, b_spec = spec
@@ -78,10 +84,11 @@ def _quant_leaf_sharding(spec):
 
 def quantize_model_params(params: dict, layer_keys: Tuple[str, ...],
                           top_keys: Tuple[str, ...]) -> dict:
-    """Quantize the named linear leaves of a model param tree in place."""
-    for lp in params["layers"]:
-        for key in layer_keys:
-            lp[key] = _quant_leaf(lp[key])
+    """Quantize the named linear leaves of a model param tree in place
+    (``layers`` is a layer-stacked dict; each leaf quantizes with
+    per-layer scales)."""
+    for key in layer_keys:
+        params["layers"][key] = _quant_leaf(params["layers"][key])
     for key in top_keys:
         if key in params:
             params[key] = _quant_leaf(params[key])
@@ -90,9 +97,9 @@ def quantize_model_params(params: dict, layer_keys: Tuple[str, ...],
 
 def quantize_model_shardings(shardings: dict, layer_keys: Tuple[str, ...],
                              top_keys: Tuple[str, ...]) -> dict:
-    for lp in shardings["layers"]:
-        for key in layer_keys:
-            lp[key] = _quant_leaf_sharding(lp[key])
+    for key in layer_keys:
+        shardings["layers"][key] = _quant_leaf_sharding(
+            shardings["layers"][key])
     for key in top_keys:
         if key in shardings:
             shardings[key] = _quant_leaf_sharding(shardings[key])
