@@ -127,7 +127,10 @@ def main():
     parser.add_argument("--max-num-seqs", type=int, default=64)
     parser.add_argument("--max-num-batched-tokens", type=int, default=1024)
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
-    parser.add_argument("--quantization", type=str, default="int8")
+    # int8-w8a8: weight-only INT8 everywhere + per-token activation
+    # quant on prefill-sized matmuls (int8 MXU = 2x bf16 rate; measured
+    # quality delta -0.01% ppl, see README quality gate).
+    parser.add_argument("--quantization", type=str, default="int8-w8a8")
     parser.add_argument("--num-decode-steps", type=int, default=8)
     parser.add_argument("--quick", action="store_true",
                         help="small sanity run (8 requests)")
@@ -179,7 +182,7 @@ def main():
               file=sys.stderr)
 
     value = out_tokens / elapsed
-    w = "int8w" if quant == "int8" else "bf16w"
+    w = {"int8": "int8w", "int8-w8a8": "int8w8a8"}.get(quant, "bf16w")
     print(json.dumps({
         "metric": f"llama7b_output_tokens_per_s_1chip_{w}_kv_{kv_dtype}",
         "value": round(value, 2),

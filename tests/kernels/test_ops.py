@@ -72,3 +72,29 @@ def test_rope_matches_rotate_half_reference(rotary_dim, head_dim):
         [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     ref = np.concatenate([ref_rot, x_pass], axis=-1)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_quantized_matmul_w8a8_close():
+    """int8 activations (prefill path of "int8-w8a8") stay within ~1%
+    of the weight-only result; short (decode-sized) inputs bypass it
+    and remain exact."""
+    import numpy as np
+    from vllm_tpu.ops.quant import (dequantize_linear, quantize_linear_weight,
+                                    quantized_matmul, set_w8a8_min_rows)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    ql = quantize_linear_weight(w)
+    x = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    ref = x @ dequantize_linear(ql)
+    try:
+        set_w8a8_min_rows(32)
+        got = quantized_matmul(x, ql)
+        err = float(jnp.max(jnp.abs(got - ref)) /
+                    (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 0.01, err
+        set_w8a8_min_rows(128)  # above the row count -> exact path
+        exact = quantized_matmul(x, ql)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        set_w8a8_min_rows(None)

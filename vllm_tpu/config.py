@@ -88,9 +88,9 @@ class ModelConfig:
         self.use_np_cache = use_np_cache
         if quantization in ("none",):
             quantization = None
-        if quantization not in (None, "int8"):
-            raise ValueError(
-                f"Unsupported quantization: {quantization} (have: int8)")
+        if quantization not in (None, "int8", "int8-w8a8"):
+            raise ValueError(f"Unsupported quantization: {quantization} "
+                             "(have: int8, int8-w8a8)")
         self.quantization = quantization
 
         if hf_config is None:

@@ -137,11 +137,15 @@ def attend(
 
 def maybe_quantize(model, params):
     """Apply the model's weight quantization mode to a loaded param
-    tree (shared by all model families)."""
+    tree (shared by all model families). "int8-w8a8" stores the same
+    weight-only-INT8 params and additionally quantizes activations for
+    prefill-sized matmuls at trace time (see ops/quant.py)."""
     if model.quantization is None:
         return params
-    if model.quantization == "int8":
-        from vllm_tpu.ops.quant import quantize_model_params
+    if model.quantization in ("int8", "int8-w8a8"):
+        from vllm_tpu.ops.quant import (quantize_model_params,
+                                        set_w8a8_min_rows)
+        set_w8a8_min_rows(256 if model.quantization == "int8-w8a8" else None)
         return quantize_model_params(params, model.QUANT_LAYER_KEYS,
                                      model.QUANT_TOP_KEYS)
     raise ValueError(f"Unknown quantization: {model.quantization}")

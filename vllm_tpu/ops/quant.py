@@ -50,8 +50,33 @@ def dequantize_linear(ql: QuantizedLinear,
             ql.scale[..., None, :]).astype(dtype)
 
 
+# When set (the "int8-w8a8" quantization mode), linears whose row count
+# is >= this threshold ALSO quantize activations per-token and run the
+# matmul as int8 x int8 -> int32 — the MXU's int8 rate is 2x bf16, and
+# prefill-sized matmuls are compute-bound (~85% of a mixed step's
+# device time at T=1088 on 7B). Decode-sized matmuls (few rows) are
+# weight-BANDWIDTH-bound, where activation quant buys nothing — the
+# static row-count check routes them to the bf16 path, so decode
+# numerics are identical to weight-only INT8. Trace-time static.
+_W8A8_MIN_ROWS = [None]
+
+
+def set_w8a8_min_rows(rows) -> None:
+    _W8A8_MIN_ROWS[0] = rows
+
+
 def quantized_matmul(x: jnp.ndarray, ql: QuantizedLinear) -> jnp.ndarray:
     """x [T, in] @ quantized weight -> [T, out] in x.dtype."""
+    rows = _W8A8_MIN_ROWS[0]
+    if rows is not None and x.shape[0] >= rows:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        xs = jnp.maximum(amax / _INT8_MAX, 1e-8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -_INT8_MAX,
+                      _INT8_MAX).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, ql.w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * xs * ql.scale).astype(x.dtype)
     y = jnp.matmul(x, ql.w.astype(x.dtype),
                    preferred_element_type=jnp.float32)
     return (y * ql.scale).astype(x.dtype)
