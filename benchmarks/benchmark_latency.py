@@ -19,11 +19,23 @@ from vllm_tpu import LLM, SamplingParams
 def main(args: argparse.Namespace):
     print(args)
 
+    if args.dummy:
+        from vllm_tpu.entrypoints.dummy import (CharTokenizer,
+                                                make_dummy_checkpoint)
+        args.model = make_dummy_checkpoint()
+        args.batch_size = min(args.batch_size, 8)
+        args.input_len = min(args.input_len, 16)
+        args.output_len = min(args.output_len, 16)
+    dummy_kwargs = (dict(block_size=4, num_device_blocks_override=128,
+                         max_model_len=64, swap_space=0.01)
+                    if args.dummy else {})
     llm_kwargs = dict(
         model=args.model,
+        tokenizer=(CharTokenizer() if args.dummy else None),
         tensor_parallel_size=args.tensor_parallel_size,
         max_num_seqs=args.batch_size,
         max_num_batched_tokens=max(args.batch_size * args.input_len, 2560),
+        **dummy_kwargs,
     )
     if args.use_dummy_weights:
         llm_kwargs["use_dummy_weights"] = True
@@ -79,6 +91,8 @@ if __name__ == "__main__":
     parser.add_argument("--use-beam-search", action="store_true")
     parser.add_argument("--num-iters", type=int, default=3)
     parser.add_argument("--use-dummy-weights", action="store_true")
+    parser.add_argument("--dummy", action="store_true",
+                        help="tiny random model, zero network I/O")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace per iter")
     parser.add_argument("--profile-dir", type=str, default="/tmp/jax-trace")

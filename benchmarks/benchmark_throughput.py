@@ -59,20 +59,38 @@ def main(args: argparse.Namespace):
     print(args)
     random.seed(args.seed)
 
+    tokenizer = None
+    if args.dummy:
+        # Hermetic run: tiny on-disk checkpoint, no network egress.
+        from vllm_tpu.entrypoints.dummy import (CharTokenizer,
+                                                make_dummy_checkpoint)
+        args.model = make_dummy_checkpoint()
+        tokenizer = CharTokenizer()
+        args.max_num_batched_tokens = min(args.max_num_batched_tokens, 64)
+        args.max_num_seqs = min(args.max_num_seqs, 8)
+    dummy_kwargs = (dict(block_size=4, num_device_blocks_override=128,
+                         max_model_len=64, swap_space=0.01)
+                    if args.dummy else {})
     llm = LLM(
         model=args.model,
+        tokenizer=tokenizer,
         tensor_parallel_size=args.tensor_parallel_size,
         kv_cache_dtype=args.kv_cache_dtype,
         seed=args.seed,
         use_dummy_weights=args.use_dummy_weights,
         max_num_seqs=args.max_num_seqs,
         max_num_batched_tokens=args.max_num_batched_tokens,
+        **dummy_kwargs,
     )
     vocab = llm.llm_engine.model_config.get_vocab_size()
 
     if args.dataset:
         requests = sample_requests_sharegpt(args.dataset, args.num_prompts,
                                             llm.get_tokenizer())
+    elif args.dummy:
+        rng = np.random.RandomState(args.seed)
+        requests = [(rng.randint(0, vocab, (16,)).tolist(), 8)
+                    for _ in range(args.num_prompts)]
     else:
         requests = sample_requests_synthetic(args.num_prompts, vocab,
                                              args.seed)
@@ -111,6 +129,8 @@ if __name__ == "__main__":
     parser.add_argument("--use-beam-search", action="store_true")
     parser.add_argument("--num-prompts", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dummy", action="store_true",
+                        help="tiny random model, zero network I/O")
     parser.add_argument("--use-dummy-weights", action="store_true")
     parser.add_argument("--max-num-seqs", type=int, default=256)
     parser.add_argument("--max-num-batched-tokens", type=int, default=2560)

@@ -195,6 +195,10 @@ def scan_layers(layer_fn, num_layers: int, params_layers, h, batch,
         h, kv = layer_fn(lp, idx, h, batch, kv)
         return (h, kv), None
 
+    # unroll=1 deliberately: unroll=4 measured 2.6x SLOWER decode
+    # chunks (378 vs 144 ms — multiple layers' weight slices live at
+    # once defeats XLA's streaming of the int8 weights), for only
+    # ~1.5 ms/step of loop overhead saved.
     (h, kv_cache), _ = jax.lax.scan(
         body, (h, kv_cache),
         (params_layers, jnp.arange(num_layers, dtype=jnp.int32)))
