@@ -117,3 +117,27 @@ def test_tp8_pallas_shard_map_matches_xla(checkpoint, kv_dtype,
             prompts, params, use_tqdm=False)
     ]
     assert pallas_out == xla_out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp8_gpt_neox_int8_weights_matches_tp1(tmp_path_factory):
+    """The GPT-NeoX family (driver config: NeoX-20B TP4 + INT8 weights)
+    under tensor parallelism: tp8 greedy == tp1 with int8 linears."""
+    import transformers as tf
+    cfg = tf.GPTNeoXConfig(vocab_size=VOCAB, hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=8, rotary_pct=0.25,
+                           use_parallel_residual=True,
+                           max_position_embeddings=MAX_LEN)
+    torch.manual_seed(5)
+    path = str(tmp_path_factory.mktemp("neox-tiny-tp"))
+    tf.GPTNeoXForCausalLM(cfg).eval().save_pretrained(
+        path, safe_serialization=True)
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    outs = {}
+    for tp in (1, 8):
+        llm = make_llm(path, tp, quantization="int8")
+        outs[tp] = [o.outputs[0].token_ids
+                    for o in llm.generate(["neox parallel", "rotary kv"],
+                                          params, use_tqdm=False)]
+    assert outs[8] == outs[1]
