@@ -557,27 +557,35 @@ class TPUWorker:
                 np.zeros((B,), np.int32),  # context_lens
             ]
 
-        for T in cfg.prefill_token_buckets:
-            NP = T // self.block_size + S
-            plan = ([np.array([0, 1, 1, 1, 0], np.int32)] + [
-                np.zeros((T,), np.int32),  # token_ids
-                np.zeros((T,), np.int32),  # positions
-                np.full((T,), -1, np.int32),  # seq_ids
-                np.full((T,), int(PAD_SLOT), np.int32),  # slot_mapping
-                np.zeros((S,), np.int32),  # logits_indices
-                np.zeros((NP,), np.int32),  # page_src
-                np.full((NP,), -1, np.int32),  # page_dst
-            ] + decode_arrays(Btop) + sampling_arrays(S + Btop))
-            self._exec_mixed(plan)
-        for B in cfg.decode_batch_buckets:
-            plan = ([
-                np.array([1, cfg.num_decode_steps, 1, 1, 0], np.int32)
-            ] + decode_arrays(B) + sampling_arrays(B))
-            self._exec_decode(plan)
+        # Both the greedy-only and the sampled (full-vocab sort)
+        # program variants: serving traffic is usually temperature > 0,
+        # and its first request otherwise paid a multi-minute
+        # mid-serving compile (measured as 20 s p50 TTFT on the first
+        # serving-bench run vs 0.23 s warm).
+        for greedy in (1, 0):
+            for T in cfg.prefill_token_buckets:
+                NP = T // self.block_size + S
+                plan = ([np.array([0, 1, 1, greedy, 0], np.int32)] + [
+                    np.zeros((T,), np.int32),  # token_ids
+                    np.zeros((T,), np.int32),  # positions
+                    np.full((T,), -1, np.int32),  # seq_ids
+                    np.full((T,), int(PAD_SLOT), np.int32),  # slot_mapping
+                    np.zeros((S,), np.int32),  # logits_indices
+                    np.zeros((NP,), np.int32),  # page_src
+                    np.full((NP,), -1, np.int32),  # page_dst
+                ] + decode_arrays(Btop) + sampling_arrays(S + Btop))
+                self._exec_mixed(plan)
+            for B in cfg.decode_batch_buckets:
+                plan = ([
+                    np.array([1, cfg.num_decode_steps, 1, greedy, 0],
+                             np.int32)
+                ] + decode_arrays(B) + sampling_arrays(B))
+                self._exec_decode(plan)
         jax.block_until_ready(self.kv_cache.data)
         logger.info(
             "Precompiled %d mixed + %d decode programs in %.1f s.",
-            len(cfg.prefill_token_buckets), len(cfg.decode_batch_buckets),
+            2 * len(cfg.prefill_token_buckets),
+            2 * len(cfg.decode_batch_buckets),
             time.perf_counter() - t0)
 
     # ------------------------------------------------------------------
