@@ -78,7 +78,18 @@ def paged_decode_attention(
     custom-call boundary); block_tables: [B, MAX_BLOCKS] physical block
     ids (padded rows arbitrary); context_lens: [B] number of valid keys
     (including the token written this step). Returns [B, H, D].
+
+    The cache may store head_dim padded to 128 lanes (Mosaic DMA
+    alignment — see ops/cache.py LANES): q pads to match and the extra
+    output lanes (exact zeros) are sliced away.
     """
+    from vllm_tpu.ops.cache import pad_head
+    D = q.shape[-1]
+    Dc = kv_cache.data.shape[-1]
+    if D != Dc:
+        return paged_decode_attention(pad_head(q, Dc), kv_cache, layer,
+                                      block_tables, context_lens, scale,
+                                      impl)[..., :D]
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.paged_attention import (
             pallas_paged_decode_attention)
@@ -166,7 +177,17 @@ def prefill_attention(
     q: [T, H, D]; k/v: [T, KVH, D]; seq_ids: [T] segment id per token
     (-1 for padding). Token i attends to token j iff they share a
     segment and j <= i. Returns [T, H, D].
+
+    head_dim pads to 128 lanes for the kernel (Mosaic DMA alignment);
+    zero lanes are exact and sliced away.
     """
+    from vllm_tpu.ops.cache import pad_head, padded_head_dim
+    D = q.shape[-1]
+    Dp = padded_head_dim(D)
+    if D != Dp and _use_pallas(impl):
+        return prefill_attention(pad_head(q, Dp), pad_head(k, Dp),
+                                 pad_head(v, Dp), seq_ids, scale,
+                                 impl)[..., :D]
     if _use_pallas(impl):
         from vllm_tpu.ops.pallas.flash_prefill import pallas_prefill_attention
         from vllm_tpu.parallel.mesh import current_tp_mesh

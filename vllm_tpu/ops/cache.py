@@ -50,6 +50,26 @@ def _use_pallas() -> bool:
 # Out-of-bounds sentinel for padded index slots (writes become no-ops).
 PAD_SLOT = jnp.iinfo(jnp.int32).max
 
+# Mosaic requires HBM DMA slices to end on a 128-lane-aligned axis, so
+# the CACHE stores head_dim padded up to 128 lanes (zeros) for models
+# with head_dim 64/96 (OPT, GPT-2, GPT-NeoX) — without it the page
+# DMAs fail to compile on real TPUs. Zero lanes are exact: they add 0
+# to every QK dot and produce 0 output lanes that the attention
+# wrappers slice away. head_dim==128 models pay nothing.
+LANES = 128
+
+
+def padded_head_dim(head_dim: int) -> int:
+    return head_dim + (-head_dim) % LANES
+
+
+def pad_head(x: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Zero-pad the trailing (head_dim) axis up to ``target`` lanes."""
+    pad = target - x.shape[-1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+
 # Symmetric int8 range.
 _INT8_MAX = 127.0
 
@@ -131,6 +151,10 @@ def write_kv(
     decode steps: every running sequence owns its tail block) — the
     page read-modify-write would race otherwise. PAD rows are no-ops.
     """
+    Dp = kv_cache.data.shape[-1]
+    if k.shape[-1] != Dp:
+        k = pad_head(k, Dp)
+        v = pad_head(v, Dp)
     if _use_pallas():
         from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
         from vllm_tpu.parallel.mesh import current_tp_mesh
@@ -217,6 +241,9 @@ def write_kv_pages(
     k, v: [T, KVH, D]; page_src/page_dst: [NP] i32.
     """
     data, scales = kv_cache
+    if k.shape[-1] != data.shape[-1]:
+        k = pad_head(k, data.shape[-1])
+        v = pad_head(v, data.shape[-1])
     num_blocks = data.shape[1]
     block_size = data.shape[4]
     num_tokens = k.shape[0]

@@ -103,6 +103,12 @@ class TPUWorker:
         self.num_kv_heads = getattr(hf, "num_key_value_heads",
                                     hf.num_attention_heads)
         self.head_dim = model_config.get_head_size()
+        # The cache stores head_dim padded to 128 lanes (Mosaic HBM-DMA
+        # alignment; zero lanes are exact) — head_dim 64/96 models
+        # (OPT, GPT-2, GPT-NeoX) failed to compile the page DMAs
+        # otherwise. Sizing/accounting uses the padded value.
+        from vllm_tpu.ops.cache import padded_head_dim
+        self.head_dim_padded = padded_head_dim(self.head_dim)
         self.block_size = cache_config.block_size
         if cache_config.kv_cache_dtype not in SUPPORTED_KV_DTYPES:
             raise NotImplementedError(
@@ -154,7 +160,8 @@ class TPUWorker:
         """Global bytes of one KV block across all layers (parity:
         cache_engine.py:132-146), including dequant scales if int8."""
         payload = (self.num_layers * 2 * self.num_kv_heads *
-                   self.block_size * self.head_dim * self.kv_dtype.itemsize)
+                   self.block_size * self.head_dim_padded *
+                   self.kv_dtype.itemsize)
         if self.kv_quantized:
             payload += int(np.prod(self._scales_shape(1))) * 4  # f32
         return payload
@@ -247,14 +254,19 @@ class TPUWorker:
         H = hf.hidden_size
         inter = getattr(hf, "intermediate_size", None) or 4 * H
         act = 2  # bf16
+        # Peak-liveness terms only (XLA fuses the elementwise chains;
+        # the scanned layer body reuses one layer's activations). XLA's
+        # own memory_analysis measured 0.10 GiB on the 7B bench config
+        # against 0.15 estimated here — every 100 MB over-estimate
+        # costs ~23 KV blocks.
         temp = (
             2 * T * inter * act        # gate/up MLP activations
-            + 6 * T * H * act          # q,k,v, attn out, 2 residuals
+            + 3 * T * H * act          # residual + attn in/out
             + T * 2 * self.num_kv_heads * self.head_dim * 4  # KV quant f32
-            + 4 * B * V * 4            # f32 logits + top-k/sort temps
+            + 3 * B * V * 4            # f32 logits + top-k/sort temps
         )
         tp = self.parallel_config.tensor_parallel_size
-        return int(temp // tp + (128 << 20))  # +128 MiB slack
+        return int(temp // tp + (48 << 20))  # +48 MiB slack
 
     def _mem_profile_cache_path(self) -> Optional[str]:
         import hashlib
@@ -331,7 +343,7 @@ class TPUWorker:
 
     def _kv_shape(self, num_blocks):
         return kv_cache_shape(self.num_layers, self.num_kv_heads, num_blocks,
-                              self.block_size, self.head_dim)
+                              self.block_size, self.head_dim_padded)
 
     def _scales_shape(self, num_blocks):
         return kv_scales_shape(self.num_layers, self.num_kv_heads,
@@ -597,6 +609,9 @@ class TPUWorker:
         metadata_list: List[SequenceGroupMetadata],
         sched: SchedulerOutputs,
     ) -> List[Dict[int, SequenceOutputs]]:
+        """Synchronous dispatch+fetch (evals and external callers; the
+        engine drives dispatch_step/fetch_step separately for async
+        scheduling)."""
         return self.fetch_step(self.dispatch_step(metadata_list, sched))
 
     def dispatch_step(
