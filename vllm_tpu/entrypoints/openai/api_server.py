@@ -73,6 +73,31 @@ def _create_logprobs(
     return logprobs
 
 
+def _normalize_prompts(prompt):
+    """OpenAI `prompt` field -> list of (text, token_ids) pairs, or an
+    error string. Accepts a string, a token-id list, a list of
+    strings, or a list of token-id lists."""
+    if isinstance(prompt, str):
+        return [(prompt, None)]
+    if not isinstance(prompt, list) or len(prompt) == 0:
+        return "please provide at least one prompt"
+    if isinstance(prompt[0], int):
+        return [(None, prompt)]  # one tokenized prompt
+    out = []
+    for p in prompt:
+        if isinstance(p, str):
+            out.append((p, None))
+        elif isinstance(p, list) and (not p or isinstance(p[0], int)):
+            out.append((None, p))
+        else:
+            return "prompt entries must be strings or token-id lists"
+    return out
+
+
+class _ClientDisconnected(Exception):
+    pass
+
+
 async def create_completion(request: web.Request) -> web.StreamResponse:
     engine = request.app[ENGINE_KEY]
     served_model = request.app[SERVED_MODEL_KEY]
@@ -94,23 +119,12 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         return error_response("logit_bias is not currently supported")
 
     request_id = f"cmpl-{random_uuid()}"
-    prompt = body.prompt
-    prompt_token_ids: Optional[List[int]] = None
-    if isinstance(prompt, list):
-        if len(prompt) == 0:
-            return error_response("please provide at least one prompt")
-        first = prompt[0]
-        if isinstance(first, int):
-            prompt_token_ids = prompt  # a single tokenized prompt
-            prompt = None
-        elif len(prompt) == 1:
-            prompt = first
-            if isinstance(prompt, list):
-                prompt_token_ids = prompt
-                prompt = None
-        else:
-            return error_response(
-                "multiple prompts in a batch is not currently supported")
+    # Multi-prompt batches are supported (beyond the reference, which
+    # rejected them, api_server.py:100-105): each prompt becomes its
+    # own engine request; choice index = prompt_index * n + sample.
+    prompts = _normalize_prompts(body.prompt)
+    if isinstance(prompts, str):
+        return error_response(prompts)
 
     try:
         sampling_params = SamplingParams(
@@ -130,8 +144,17 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
     except ValueError as e:
         return error_response(str(e))
 
-    result_generator = engine.generate(prompt, sampling_params, request_id,
-                                       prompt_token_ids=prompt_token_ids)
+    n_prompts = len(prompts)
+    sub_ids = ([request_id] if n_prompts == 1 else
+               [f"{request_id}-{i}" for i in range(n_prompts)])
+    generators = [
+        engine.generate(text, sampling_params, sid, prompt_token_ids=ids)
+        for (text, ids), sid in zip(prompts, sub_ids)
+    ]
+
+    async def abort_all():
+        for sid in sub_ids:
+            await engine.abort(sid)
 
     tokenizer = engine.engine.tokenizer
     model_name = body.model
@@ -159,59 +182,96 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"})
         await response.prepare(request)
-        previous_texts = [""] * body.n
-        previous_num_tokens = [0] * body.n
+        previous_texts = [[""] * body.n for _ in range(n_prompts)]
+        previous_num_tokens = [[0] * body.n for _ in range(n_prompts)]
+
+        # All prompts' streams merge into one queue; chunks interleave
+        # as tokens arrive, each tagged with its global choice index.
+        queue: asyncio.Queue = asyncio.Queue()
+
+        async def pump(i: int, gen) -> None:
+            try:
+                async for res in gen:
+                    await queue.put((i, res))
+            except Exception as e:  # noqa: BLE001 — forwarded
+                await queue.put((i, e))
+            finally:
+                await queue.put((i, None))
+
+        tasks = [
+            asyncio.get_running_loop().create_task(pump(i, gen))
+            for i, gen in enumerate(generators)
+        ]
         try:
-            async for res in result_generator:
-                for output in res.outputs:
-                    i = output.index
-                    delta_text = output.text[len(previous_texts[i]):]
+            open_streams = n_prompts
+            while open_streams:
+                i, item = await queue.get()
+                if item is None:
+                    open_streams -= 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                for output in item.outputs:
+                    j = output.index
+                    prev_text = previous_texts[i][j]
+                    delta_text = output.text[len(prev_text):]
                     logprobs = None
                     if body.logprobs is not None:
+                        taken = previous_num_tokens[i][j]
                         logprobs = _create_logprobs(
-                            tokenizer,
-                            output.token_ids[previous_num_tokens[i]:],
-                            output.logprobs[previous_num_tokens[i]:],
-                            len(previous_texts[i]))
-                    previous_texts[i] = output.text
-                    previous_num_tokens[i] = len(output.token_ids)
+                            tokenizer, output.token_ids[taken:],
+                            output.logprobs[taken:], len(prev_text))
+                    previous_texts[i][j] = output.text
+                    previous_num_tokens[i][j] = len(output.token_ids)
                     await response.write(
-                        make_stream_chunk(i, delta_text, logprobs,
-                                          output.finish_reason))
+                        make_stream_chunk(i * body.n + j, delta_text,
+                                          logprobs, output.finish_reason))
             await response.write(b"data: [DONE]\n\n")
             await response.write_eof()
         except (ConnectionResetError, asyncio.CancelledError):
-            await engine.abort(request_id)
+            await abort_all()
             raise
+        finally:
+            for task in tasks:
+                task.cancel()
         return response
 
     # Non-streaming (or fake-streamed) path.
-    final_res: Optional[RequestOutput] = None
-    try:
-        async for res in result_generator:
+    finals: List[Optional[RequestOutput]] = [None] * n_prompts
+
+    async def consume(i: int, gen) -> None:
+        async for res in gen:
             if (request.transport is not None
                     and request.transport.is_closing()):
-                await engine.abort(request_id)
-                return error_response("client disconnected", status=499)
-            final_res = res
-    except Exception:
-        await engine.abort(request_id)
-        raise
-    assert final_res is not None
-    choices = []
-    for output in final_res.outputs:
-        logprobs = None
-        if body.logprobs is not None:
-            logprobs = _create_logprobs(tokenizer, output.token_ids,
-                                        output.logprobs)
-        choices.append(
-            CompletionResponseChoice(index=output.index, text=output.text,
-                                     logprobs=logprobs,
-                                     finish_reason=output.finish_reason))
+                raise _ClientDisconnected()
+            finals[i] = res
 
-    num_prompt_tokens = len(final_res.prompt_token_ids)
+    try:
+        await asyncio.gather(*(consume(i, g)
+                               for i, g in enumerate(generators)))
+    except _ClientDisconnected:
+        await abort_all()
+        return error_response("client disconnected", status=499)
+    except Exception:
+        await abort_all()
+        raise
+    assert all(res is not None for res in finals)
+    choices = []
+    for i, final_res in enumerate(finals):
+        for output in final_res.outputs:
+            logprobs = None
+            if body.logprobs is not None:
+                logprobs = _create_logprobs(tokenizer, output.token_ids,
+                                            output.logprobs)
+            choices.append(
+                CompletionResponseChoice(index=i * body.n + output.index,
+                                         text=output.text,
+                                         logprobs=logprobs,
+                                         finish_reason=output.finish_reason))
+
+    num_prompt_tokens = sum(len(res.prompt_token_ids) for res in finals)
     num_generated_tokens = sum(
-        len(output.token_ids) for output in final_res.outputs)
+        len(output.token_ids) for res in finals for output in res.outputs)
     usage = UsageInfo(prompt_tokens=num_prompt_tokens,
                       completion_tokens=num_generated_tokens,
                       total_tokens=num_prompt_tokens + num_generated_tokens)
