@@ -170,10 +170,18 @@ def test_openai_api_server(sync_engine):
                 "model": "wrong", "prompt": "x"})
             assert r.status == 404
 
-            # echo rejected
+            # echo with logprobs rejected; plain echo prepends the
+            # prompt (beyond the reference, which rejected echo).
             r = await client.post("/v1/completions", json={
-                "model": "tiny-opt", "prompt": "x", "echo": True})
+                "model": "tiny-opt", "prompt": "x", "echo": True,
+                "logprobs": 1})
             assert r.status == 400
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": "echo me", "echo": True,
+                "max_tokens": 3, "temperature": 0.0, "ignore_eos": True})
+            assert r.status == 200
+            body = await r.json()
+            assert body["choices"][0]["text"].startswith("echo me")
 
             # non-streaming completion with usage + logprobs
             r = await client.post("/v1/completions", json={

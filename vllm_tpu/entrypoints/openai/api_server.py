@@ -111,8 +111,12 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         err = ErrorResponse(message=f"The model `{body.model}` does not exist.",
                             type="invalid_request_error", code="404")
         return web.json_response(err.model_dump(), status=404)
-    if body.echo:
-        return error_response("echo is not currently supported")
+    if body.echo and body.logprobs is not None:
+        # echo itself is supported (beyond the reference, which
+        # rejected it outright); echoing PROMPT logprobs would need a
+        # prefill program emitting per-position logprobs.
+        return error_response(
+            "echo with logprobs is not currently supported")
     if body.suffix is not None:
         return error_response("suffix is not currently supported")
     if body.logit_bias is not None and len(body.logit_bias) > 0:
@@ -182,6 +186,14 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"})
         await response.prepare(request)
+        if body.echo:
+            # OpenAI echo semantics under streaming: the prompt text
+            # arrives as each choice's first chunk.
+            for i, (text, ids) in enumerate(prompts):
+                ptext = text if text is not None else tokenizer.decode(ids)
+                for j in range(body.n):
+                    await response.write(
+                        make_stream_chunk(i * body.n + j, ptext))
         previous_texts = [[""] * body.n for _ in range(n_prompts)]
         previous_num_tokens = [[0] * body.n for _ in range(n_prompts)]
 
@@ -256,6 +268,12 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         await abort_all()
         raise
     assert all(res is not None for res in finals)
+
+    def prompt_text(final_res: RequestOutput) -> str:
+        if final_res.prompt is not None:
+            return final_res.prompt
+        return tokenizer.decode(final_res.prompt_token_ids)
+
     choices = []
     for i, final_res in enumerate(finals):
         for output in final_res.outputs:
@@ -263,9 +281,12 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
             if body.logprobs is not None:
                 logprobs = _create_logprobs(tokenizer, output.token_ids,
                                             output.logprobs)
+            text = output.text
+            if body.echo:
+                text = prompt_text(final_res) + text
             choices.append(
                 CompletionResponseChoice(index=i * body.n + output.index,
-                                         text=output.text,
+                                         text=text,
                                          logprobs=logprobs,
                                          finish_reason=output.finish_reason))
 
