@@ -389,15 +389,30 @@ class TPUWorker:
     @staticmethod
     def _process_slices(arr) -> Tuple[List[int], List[int]]:
         """Per-axis [lo, hi) bounds of this process's union of
-        addressable shards (contiguous for our 1-axis shardings)."""
+        addressable shards. The union must be contiguous (true for our
+        1-axis shardings with standard device order) — a gap would
+        silently corrupt the swap pools, so verify coverage."""
         lo = list(arr.shape)
         hi = [0] * arr.ndim
+        covered = 0
+        seen = set()
         for s in arr.addressable_shards:
             for ax, sl in enumerate(s.index):
                 start = sl.start or 0
                 stop = sl.stop if sl.stop is not None else arr.shape[ax]
                 lo[ax] = min(lo[ax], start)
                 hi[ax] = max(hi[ax], stop)
+            key = tuple((sl.start or 0,
+                         sl.stop if sl.stop is not None else arr.shape[ax])
+                        for ax, sl in enumerate(s.index))
+            if key not in seen:  # replicas repeat the same index
+                seen.add(key)
+                covered += int(np.prod([b - a for a, b in key]))
+        box = int(np.prod([h - l for h, l in zip(hi, lo)]))
+        assert covered == box, (
+            f"process shards are non-contiguous (cover {covered} of "
+            f"bounding box {box}); per-process swap pools require a "
+            "contiguous shard range per host")
         return lo, hi
 
     @staticmethod
