@@ -351,3 +351,50 @@ def test_async_parallel_sampling_seeded_rows(checkpoint):
     [out] = llm.generate("sample feed", params, use_tqdm=False)
     assert len(out.outputs) == 3
     assert all(len(c.token_ids) == 6 for c in out.outputs)
+
+
+def test_beam_swap_roundtrip_single_host(checkpoint):
+    """Engine-level preempt-by-SWAP: a beam group under a tight block
+    pool gets swapped to the host pool (asynchronously drained) and
+    later swapped back in, finishing with valid output."""
+    llm = make_llm(checkpoint, num_device_blocks_override=10,
+                   swap_space=0.001)
+    engine = llm.llm_engine
+    greedy = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    beam = SamplingParams(use_beam_search=True, best_of=2, n=1,
+                          temperature=0.0, max_tokens=8, ignore_eos=True)
+    tok = MockTokenizer(VOCAB)
+    engine.add_request("g0", None, greedy,
+                       prompt_token_ids=tok.encode("hello mesh"))
+    engine.add_request("g1", None, greedy, prompt_token_ids=tok.encode("tp"))
+    engine.add_request("b", None, beam,
+                       prompt_token_ids=tok.encode("beam beam!"))
+    results = {}
+    saw_swap = False
+    for _ in range(200):
+        if not engine.has_unfinished_requests():
+            break
+        for out in engine.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+        saw_swap = saw_swap or bool(engine.scheduler.swapped)
+    assert saw_swap, "beam group was never preempted by swap"
+    assert set(results) == {"g0", "g1", "b"}
+    assert len(results["b"]) == 8
+
+    # The swap round-trip must not perturb outputs: same requests with
+    # ample blocks produce identical tokens.
+    llm2 = make_llm(checkpoint, num_device_blocks_override=64)
+    engine2 = llm2.llm_engine
+    engine2.add_request("g0", None, greedy,
+                        prompt_token_ids=tok.encode("hello mesh"))
+    engine2.add_request("g1", None, greedy,
+                        prompt_token_ids=tok.encode("tp"))
+    engine2.add_request("b", None, beam,
+                        prompt_token_ids=tok.encode("beam beam!"))
+    ref = {}
+    while engine2.has_unfinished_requests():
+        for out in engine2.step():
+            if out.finished:
+                ref[out.request_id] = out.outputs[0].token_ids
+    assert results == ref
