@@ -11,8 +11,13 @@ from vllm_tpu import EngineArgs, LLMEngine, SamplingParams
 
 
 def main(args: argparse.Namespace):
+    tokenizer = None
+    if args.dummy:
+        # Tiny random model, zero network I/O.
+        from vllm_tpu.entrypoints.dummy import apply_dummy_args
+        tokenizer = apply_dummy_args(args)
     engine_args = EngineArgs.from_cli_args(args)
-    engine = LLMEngine.from_engine_args(engine_args)
+    engine = LLMEngine.from_engine_args(engine_args, tokenizer=tokenizer)
 
     test_prompts = [
         ("A robot may not injure a human being",
@@ -43,6 +48,8 @@ def main(args: argparse.Namespace):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(
         description="Demo of stepping the LLMEngine directly")
+    parser.add_argument("--dummy", action="store_true",
+                        help="tiny random model, zero network I/O")
     parser = EngineArgs.add_cli_args(parser)
     args = parser.parse_args()
     main(args)
