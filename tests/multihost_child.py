@@ -71,9 +71,42 @@ def main():
             if out.finished:
                 results[out.request_id] = out.outputs[0].token_ids
         saw_swap = saw_swap or bool(engine.scheduler.swapped)
-    engine.shutdown()
     results["swapped"] = saw_swap
+
+    # Driver eval config 5 shape: the OpenAI server running ON the
+    # driver process of a multi-process cluster, streaming a completion
+    # (followers keep replaying broadcast plans underneath aiohttp).
+    results["openai_stream"] = _serve_openai_once(engine, tok)
+    engine.shutdown()
     print("RESULT " + json.dumps(results))
+
+
+def _serve_openai_once(sync_engine, tok) -> str:
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+    from vllm_tpu.entrypoints.openai.api_server import build_app
+
+    async def run():
+        app = build_app(AsyncLLMEngine(sync_engine, log_requests=False),
+                        "mh-model")
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/v1/completions", json={
+                "model": "mh-model", "prompt": "stream on a cluster",
+                "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+                "stream": True,
+            })
+            assert r.status == 200, r.status
+            raw = (await r.read()).decode()
+            assert raw.rstrip().endswith("data: [DONE]")
+            chunks = [json.loads(line[len("data: "):])
+                      for line in raw.splitlines()
+                      if line.startswith("data: ") and "[DONE]" not in line]
+            return "".join(c["choices"][0]["text"] for c in chunks)
+
+    return asyncio.run(run())
 
 
 if __name__ == "__main__":

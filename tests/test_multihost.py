@@ -66,6 +66,9 @@ def test_two_process_engine_matches_single(checkpoint, tmp_path):
     # 2-process run (10-block pool): broadcast swap plans + per-process
     # host pools did real work.
     assert dist_results["swapped"] is True
+    # OpenAI SSE streaming served FROM the cluster's driver process
+    # (driver eval config 5 shape) produced a 4-token completion.
+    assert len(dist_results["openai_stream"]) >= 4
 
     # Single-process tp=1 reference in THIS process (ample blocks — a
     # preempt/swap round-trip must not change any output).
