@@ -101,6 +101,31 @@ def test_logprobs_consistent():
     assert (np.diff(tk, axis=-1) <= 1e-6).all()
 
 
+def test_logit_bias_shifts_argmax():
+    logits = np.zeros((2, V), np.float32)
+    logits[:, 3] = 5.0  # would win greedily
+    t = make_tensors(2, temperature=0.0)
+    # Row 0: +100 on token 11 overrides; row 1: no bias (PAD ids).
+    bias_ids = np.full((2, 2), int(PAD_TOKEN), np.int32)
+    bias_vals = np.zeros((2, 2), np.float32)
+    bias_ids[0, 0] = 11
+    bias_vals[0, 0] = 100.0
+    t = t._replace(bias_ids=jnp.asarray(bias_ids),
+                   bias_vals=jnp.asarray(bias_vals))
+    out = sample(jnp.asarray(logits), t, jax.random.PRNGKey(0),
+                 num_samples=1, num_topk=1, use_bias=True)
+    assert int(out.samples[0, 0]) == 11
+    assert int(out.samples[0, 1]) == 3
+    # -100 bans a token (OpenAI semantics).
+    bias_ids[0, 0] = 3
+    bias_vals[0, 0] = -100.0
+    t = t._replace(bias_ids=jnp.asarray(bias_ids),
+                   bias_vals=jnp.asarray(bias_vals))
+    out = sample(jnp.asarray(logits), t, jax.random.PRNGKey(0),
+                 num_samples=1, num_topk=1, use_bias=True)
+    assert int(out.samples[0, 0]) != 3
+
+
 def test_multi_sample_shape_and_variance():
     logits = jnp.zeros((1, V), jnp.float32)  # uniform
     out = sample(logits, make_tensors(1, temperature=1.0),

@@ -133,6 +133,38 @@ def test_logprobs_returned(llm):
         assert len(step_lps) >= 3
 
 
+def test_prompt_logprobs_match_hf(checkpoint, llm):
+    _, hf_model = checkpoint
+    prompt = "check prompt lp"
+    params = SamplingParams(temperature=0.0, max_tokens=2,
+                            prompt_logprobs=2, ignore_eos=True)
+    [out] = llm.generate(prompt, params, use_tqdm=False)
+    ids = MockTokenizer(VOCAB).encode(prompt)
+    assert out.prompt_logprobs is not None
+    assert len(out.prompt_logprobs) == len(ids)
+    assert out.prompt_logprobs[0] is None
+    with torch.no_grad():
+        logits = hf_model(torch.tensor([ids])).logits[0].float()
+        ref = torch.log_softmax(logits, -1)
+    for p in range(1, len(ids)):
+        d = out.prompt_logprobs[p]
+        # Realized token present and numerically right (position p's
+        # token scored from position p-1's logits).
+        assert ids[p] in d
+        assert abs(d[ids[p]] - float(ref[p - 1, ids[p]])) < 2e-3
+        # Plus the top-2 alternatives.
+        assert len(d) >= 2
+        top2 = torch.topk(ref[p - 1], 2)
+        for t, lp in zip(top2.indices.tolist(), top2.values.tolist()):
+            assert t in d and abs(d[t] - lp) < 2e-3
+
+
+def test_prompt_logprobs_disabled_rejected(checkpoint):
+    llm = make_llm(checkpoint, enable_prompt_logprobs=False)
+    with pytest.raises(ValueError, match="prompt_logprobs"):
+        llm.generate("x", SamplingParams(prompt_logprobs=0), use_tqdm=False)
+
+
 def test_stop_string(checkpoint, llm):
     _, hf_model = checkpoint
     prompt = "stop here"

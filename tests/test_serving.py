@@ -170,18 +170,52 @@ def test_openai_api_server(sync_engine):
                 "model": "wrong", "prompt": "x"})
             assert r.status == 404
 
-            # echo with logprobs rejected; plain echo prepends the
-            # prompt (beyond the reference, which rejected echo).
+            # echo+logprobs returns PROMPT logprobs then completion
+            # logprobs (beyond the reference, which rejected echo
+            # outright): entry 0 is null (no context), prompt entries
+            # real, and the token list covers prompt + completion.
             r = await client.post("/v1/completions", json={
-                "model": "tiny-opt", "prompt": "x", "echo": True,
-                "logprobs": 1})
-            assert r.status == 400
+                "model": "tiny-opt", "prompt": "echo lp", "echo": True,
+                "logprobs": 2, "max_tokens": 3, "temperature": 0.0,
+                "ignore_eos": True})
+            assert r.status == 200
+            body = await r.json()
+            lp = body["choices"][0]["logprobs"]
+            n_prompt = len("echo lp")  # char tokenizer
+            assert len(lp["tokens"]) == n_prompt + 3
+            assert lp["token_logprobs"][0] is None
+            assert lp["top_logprobs"][0] is None
+            assert all(isinstance(x, float)
+                       for x in lp["token_logprobs"][1:])
+            assert all(len(d) >= 2 for d in lp["top_logprobs"][1:])
+            # Prompt-position logprobs are consistent: each realized
+            # prompt token's logprob appears in its top_logprobs dict.
+            for tok, tlp, top in zip(lp["tokens"][1:n_prompt],
+                                     lp["token_logprobs"][1:n_prompt],
+                                     lp["top_logprobs"][1:n_prompt]):
+                assert top[tok] == tlp
             r = await client.post("/v1/completions", json={
                 "model": "tiny-opt", "prompt": "echo me", "echo": True,
                 "max_tokens": 3, "temperature": 0.0, "ignore_eos": True})
             assert r.status == 200
             body = await r.json()
             assert body["choices"][0]["text"].startswith("echo me")
+
+            # logit_bias (beyond the reference, which rejected it):
+            # +100 on one token forces the greedy argmax onto it.
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": "bias", "max_tokens": 3,
+                "temperature": 0.0, "ignore_eos": True,
+                "logit_bias": {"9": 100.0}})
+            assert r.status == 200
+            body = await r.json()
+            tok9 = sync_engine.tokenizer.convert_ids_to_tokens(9)
+            assert body["choices"][0]["text"] == tok9 * 3
+
+            # empty prompt entries -> 400, not garbage output
+            r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": [[]]})
+            assert r.status == 400
 
             # non-streaming completion with usage + logprobs
             r = await client.post("/v1/completions", json={

@@ -239,6 +239,7 @@ class SchedulerConfig:
         admit_min_free_slots: Optional[int] = None,
         admit_fill_frac: float = 0.85,
         max_admit_delay_s: float = 0.3,
+        enable_prompt_logprobs: bool = True,
     ) -> None:
         self.max_num_batched_tokens = max_num_batched_tokens
         self.max_num_seqs = max_num_seqs
@@ -277,6 +278,11 @@ class SchedulerConfig:
         self.admit_min_free_slots = admit_min_free_slots
         self.admit_fill_frac = admit_fill_frac
         self.max_admit_delay_s = max_admit_delay_s
+        # Prompt logprobs (echo+logprobs / perplexity) need a [T, V]
+        # logits pass in a prefill-program variant; enabling reserves
+        # the extra step-temp HBM for it (a few dozen KV blocks).
+        # Disable to reclaim them when serving never echoes.
+        self.enable_prompt_logprobs = enable_prompt_logprobs
 
     def block_table_buckets(self, block_size: int) -> List[int]:
         """Bucket ladder for blocks-per-sequence in decode block tables."""

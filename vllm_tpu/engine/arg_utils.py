@@ -46,6 +46,10 @@ class EngineArgs:
     # device execution (single-process; auto-falls-back around
     # beam/penalty requests). Outputs lag one iteration.
     async_scheduling: bool = True
+    # Prompt logprobs (echo+logprobs) reserve [T, V]-sized step-temp
+    # HBM for the prefill-variant program; disabling reclaims it as KV
+    # blocks and rejects such requests.
+    enable_prompt_logprobs: bool = True
     num_device_blocks_override: Optional[int] = None
     disable_log_stats: bool = False
     # Compile every bucketed step program at startup instead of on
@@ -118,6 +122,12 @@ class EngineArgs:
                             dest="async_scheduling", action="store_false",
                             help="fetch each step's results before "
                             "scheduling the next (easier to debug; slower)")
+        parser.add_argument("--disable-prompt-logprobs",
+                            dest="enable_prompt_logprobs",
+                            action="store_false",
+                            help="reject prompt-logprob (echo+logprobs) "
+                            "requests and reclaim their reserved step-temp "
+                            "HBM as KV blocks")
         parser.add_argument("--num-device-blocks-override", type=int,
                             default=None)
         parser.add_argument("--disable-log-stats", action="store_true")
@@ -172,6 +182,7 @@ class EngineArgs:
             max_admit_delay_s=self.max_admit_delay_s,
             prefill_token_buckets=self.prefill_token_buckets,
             decode_batch_buckets=self.decode_batch_buckets,
+            enable_prompt_logprobs=self.enable_prompt_logprobs,
         )
         model_config.verify_with_parallel_config(parallel_config)
         return model_config, cache_config, parallel_config, scheduler_config

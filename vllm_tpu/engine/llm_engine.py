@@ -142,6 +142,15 @@ class LLMEngine:
         if prompt_token_ids is None:
             assert prompt is not None
             prompt_token_ids = self.tokenizer.encode(prompt)
+        if len(prompt_token_ids) == 0:
+            # A zero-length prompt has no last position to sample from
+            # (the prefill packer's logits index would be row -1).
+            raise ValueError("prompt must contain at least one token")
+        if (sampling_params.prompt_logprobs is not None
+                and not self.scheduler_config.enable_prompt_logprobs):
+            raise ValueError(
+                "prompt_logprobs requests are disabled on this engine "
+                "(started with --disable-prompt-logprobs).")
         if sampling_params.best_of > 1 and not self.worker.swap_enabled:
             # Multi-seq groups can only be preempted by SWAP (their
             # shared/CoW block structure can't be re-prefetched by
@@ -278,11 +287,14 @@ class LLMEngine:
         p["sched_s"] += sched_s
         p["exec_s"] += dispatch_s + (t3 - t2)
         p["host_s"] += time.perf_counter() - t3
-        n_dec = sum(
-            len(md.seq_data) for md in metadata_list if not md.is_prompt)
-        p["decode_tokens"] += n_dec * sched_out.num_decode_steps
-        p["prompt_tokens"] += (sched_out.num_batched_tokens -
-                               n_dec * sched_out.num_decode_steps)
+        # Per-row actual steps: beam groups run single-step beside a
+        # chunk, so counting every non-prompt row at num_decode_steps
+        # would overcount them (and push prompt_tokens negative).
+        dec_tokens = sum(
+            len(md.seq_data) * self._step_tokens(md, sched_out)
+            for md in metadata_list if not md.is_prompt)
+        p["decode_tokens"] += dec_tokens
+        p["prompt_tokens"] += sched_out.num_batched_tokens - dec_tokens
         return request_outputs
 
     # -- detokenization + stopping --------------------------------------------

@@ -4,9 +4,14 @@ Capability parity: /root/reference/vllm/entrypoints/openai/api_server.py
 — GET /v1/models, POST /v1/completions with SSE streaming
 (`data: <json>\\n\\n` chunks terminated by `data: [DONE]\\n\\n`),
 logprobs formatting, usage accounting, abort on disconnect, model-name
-check, rejection of echo/suffix/logit_bias, fake streaming when
-n != best_of (beam/parallel sampling can't stream incrementally), and
-the served-model-name CLI. Built on aiohttp (no FastAPI in image).
+check, rejection of suffix, fake streaming when n != best_of
+(beam/parallel sampling can't stream incrementally), and the
+served-model-name CLI. Built on aiohttp (no FastAPI in image).
+
+Beyond the reference (which rejects all three,
+api_server.py:107-120): multi-prompt batches, echo (including
+echo+logprobs via the engine's prompt-logprob prefill variant), and
+logit_bias.
 """
 
 import argparse
@@ -53,23 +58,30 @@ def _create_logprobs(
     id_logprobs: List[Dict[int, float]],
     initial_text_offset: int = 0,
 ) -> LogProbs:
-    """Parity: openai/api_server.py:66-85."""
+    """Parity: openai/api_server.py:66-85. A None entry in
+    ``id_logprobs`` (a sequence's first prompt position under
+    echo+logprobs — no preceding context) yields null
+    logprob/top_logprobs for that token, as OpenAI does."""
     logprobs = LogProbs()
     last_token_len = 0
     for token_id, id_logprob in zip(token_ids, id_logprobs):
         token = tokenizer.convert_ids_to_tokens(token_id)
         logprobs.tokens.append(token)
-        logprobs.token_logprobs.append(id_logprob[token_id])
+        if id_logprob is None:
+            logprobs.token_logprobs.append(None)
+            logprobs.top_logprobs.append(None)
+        else:
+            logprobs.token_logprobs.append(id_logprob[token_id])
+            logprobs.top_logprobs.append({
+                tokenizer.convert_ids_to_tokens(i): p
+                for i, p in id_logprob.items()
+            })
         if len(logprobs.text_offset) == 0:
             logprobs.text_offset.append(initial_text_offset)
         else:
             logprobs.text_offset.append(logprobs.text_offset[-1] +
                                         last_token_len)
         last_token_len = len(token)
-        logprobs.top_logprobs.append({
-            tokenizer.convert_ids_to_tokens(i): p
-            for i, p in id_logprob.items()
-        })
     return logprobs
 
 
@@ -87,8 +99,12 @@ def _normalize_prompts(prompt):
     for p in prompt:
         if isinstance(p, str):
             out.append((p, None))
-        elif isinstance(p, list) and (not p or isinstance(p[0], int)):
+        elif isinstance(p, list) and p and isinstance(p[0], int):
             out.append((None, p))
+        elif isinstance(p, list) and not p:
+            # A zero-length prompt has no last token to sample from —
+            # the prefill packer would index row -1 and return garbage.
+            return "prompt entries must not be empty"
         else:
             return "prompt entries must be strings or token-id lists"
     return out
@@ -111,16 +127,14 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         err = ErrorResponse(message=f"The model `{body.model}` does not exist.",
                             type="invalid_request_error", code="404")
         return web.json_response(err.model_dump(), status=404)
-    if body.echo and body.logprobs is not None:
-        # echo itself is supported (beyond the reference, which
-        # rejected it outright); echoing PROMPT logprobs would need a
-        # prefill program emitting per-position logprobs.
+    want_prompt_logprobs = body.echo and body.logprobs is not None
+    if (want_prompt_logprobs and
+            not engine.engine.scheduler_config.enable_prompt_logprobs):
         return error_response(
-            "echo with logprobs is not currently supported")
+            "echo with logprobs is disabled on this server "
+            "(started with --disable-prompt-logprobs)")
     if body.suffix is not None:
         return error_response("suffix is not currently supported")
-    if body.logit_bias is not None and len(body.logit_bias) > 0:
-        return error_response("logit_bias is not currently supported")
 
     request_id = f"cmpl-{random_uuid()}"
     # Multi-prompt batches are supported (beyond the reference, which
@@ -131,6 +145,11 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         return error_response(prompts)
 
     try:
+        # OpenAI wire format carries logit_bias token ids as STRING
+        # keys; non-numeric keys land in this except like any other
+        # bad sampling parameter.
+        logit_bias = ({int(t): float(b) for t, b in body.logit_bias.items()}
+                      if body.logit_bias else None)
         sampling_params = SamplingParams(
             n=body.n,
             best_of=body.best_of,
@@ -144,6 +163,8 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
             max_tokens=body.max_tokens,
             logprobs=body.logprobs,
             use_beam_search=body.use_beam_search,
+            logit_bias=logit_bias,
+            prompt_logprobs=body.logprobs if want_prompt_logprobs else None,
         )
     except ValueError as e:
         return error_response(str(e))
@@ -170,6 +191,11 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
               (sampling_params.best_of == sampling_params.n)
               and not sampling_params.use_beam_search)
 
+    def prompt_text(final_res: RequestOutput) -> str:
+        if final_res.prompt is not None:
+            return final_res.prompt
+        return tokenizer.decode(final_res.prompt_token_ids)
+
     def make_stream_chunk(index: int, text: str,
                           logprobs: Optional[LogProbs] = None,
                           finish_reason: Optional[str] = None) -> bytes:
@@ -186,14 +212,18 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"})
         await response.prepare(request)
-        if body.echo:
+        if body.echo and not want_prompt_logprobs:
             # OpenAI echo semantics under streaming: the prompt text
-            # arrives as each choice's first chunk.
+            # arrives as each choice's first chunk. (With logprobs the
+            # echo chunk must carry the PROMPT logprobs, which only
+            # exist after the prefill step — emitted on each prompt's
+            # first result below instead.)
             for i, (text, ids) in enumerate(prompts):
                 ptext = text if text is not None else tokenizer.decode(ids)
                 for j in range(body.n):
                     await response.write(
                         make_stream_chunk(i * body.n + j, ptext))
+        echo_pending = [want_prompt_logprobs] * n_prompts
         previous_texts = [[""] * body.n for _ in range(n_prompts)]
         previous_num_tokens = [[0] * body.n for _ in range(n_prompts)]
 
@@ -223,6 +253,15 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
                     continue
                 if isinstance(item, Exception):
                     raise item
+                if echo_pending[i]:
+                    echo_pending[i] = False
+                    ptext = prompt_text(item)
+                    plp = _create_logprobs(tokenizer, item.prompt_token_ids,
+                                           item.prompt_logprobs or
+                                           [None] * len(item.prompt_token_ids))
+                    for j in range(body.n):
+                        await response.write(
+                            make_stream_chunk(i * body.n + j, ptext, plp))
                 for output in item.outputs:
                     j = output.index
                     prev_text = previous_texts[i][j]
@@ -240,7 +279,11 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
                                           logprobs, output.finish_reason))
             await response.write(b"data: [DONE]\n\n")
             await response.write_eof()
-        except (ConnectionResetError, asyncio.CancelledError):
+        except BaseException:
+            # Any failure mid-stream (disconnect, cancellation, or one
+            # prompt's generator raising) must release EVERY sibling
+            # engine request — they would otherwise keep consuming
+            # engine capacity after the response is dead.
             await abort_all()
             raise
         finally:
@@ -269,18 +312,23 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         raise
     assert all(res is not None for res in finals)
 
-    def prompt_text(final_res: RequestOutput) -> str:
-        if final_res.prompt is not None:
-            return final_res.prompt
-        return tokenizer.decode(final_res.prompt_token_ids)
-
     choices = []
     for i, final_res in enumerate(finals):
         for output in final_res.outputs:
             logprobs = None
             if body.logprobs is not None:
-                logprobs = _create_logprobs(tokenizer, output.token_ids,
-                                            output.logprobs)
+                if want_prompt_logprobs:
+                    # echo+logprobs: one LogProbs covering prompt then
+                    # completion tokens (entry 0 null — no context).
+                    plp = (final_res.prompt_logprobs or
+                           [None] * len(final_res.prompt_token_ids))
+                    logprobs = _create_logprobs(
+                        tokenizer,
+                        final_res.prompt_token_ids + output.token_ids,
+                        list(plp) + list(output.logprobs))
+                else:
+                    logprobs = _create_logprobs(tokenizer, output.token_ids,
+                                                output.logprobs)
             text = output.text
             if body.echo:
                 text = prompt_text(final_res) + text

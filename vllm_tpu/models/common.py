@@ -135,17 +135,23 @@ def attend(
     return out, kv_cache
 
 
-def maybe_quantize(model, params):
+def maybe_quantize(model, params, w8a8_min_rows: Optional[int] = None):
     """Apply the model's weight quantization mode to a loaded param
     tree (shared by all model families). "int8-w8a8" stores the same
     weight-only-INT8 params and additionally quantizes activations for
-    prefill-sized matmuls at trace time (see ops/quant.py)."""
+    matmuls with >= ``w8a8_min_rows`` rows at trace time (the caller
+    derives the threshold from its decode batch buckets so decode
+    steps always keep weight-only numerics; see ops/quant.py)."""
     if model.quantization is None:
         return params
     if model.quantization in ("int8", "int8-w8a8"):
         from vllm_tpu.ops.quant import (quantize_model_params,
                                         set_w8a8_min_rows)
-        set_w8a8_min_rows(256 if model.quantization == "int8-w8a8" else None)
+        if model.quantization == "int8-w8a8":
+            set_w8a8_min_rows(w8a8_min_rows
+                              if w8a8_min_rows is not None else 257)
+        else:
+            set_w8a8_min_rows(None)
         return quantize_model_params(params, model.QUANT_LAYER_KEYS,
                                      model.QUANT_TOP_KEYS)
     raise ValueError(f"Unknown quantization: {model.quantization}")

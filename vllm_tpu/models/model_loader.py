@@ -36,7 +36,8 @@ def _get_architecture(hf_config) -> str:
         f"not supported. Supported: {list(MODEL_REGISTRY)}")
 
 
-def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
+def get_model(model_config: ModelConfig,
+              w8a8_min_rows: int = None) -> Tuple[Any, Dict[str, Any]]:
     arch = _get_architecture(model_config.hf_config)
     model = MODEL_REGISTRY[arch](
         model_config.hf_config, dtype=model_config.dtype,
@@ -57,5 +58,5 @@ def get_model(model_config: ModelConfig) -> Tuple[Any, Dict[str, Any]]:
     # Weight-only quantization runs leaf-at-a-time after either load
     # path (peak memory: float tree + one int8 leaf).
     from vllm_tpu.models.common import maybe_quantize
-    params = maybe_quantize(model, params)
+    params = maybe_quantize(model, params, w8a8_min_rows=w8a8_min_rows)
     return model, params

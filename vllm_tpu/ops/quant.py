@@ -58,6 +58,10 @@ def dequantize_linear(ql: QuantizedLinear,
 # weight-BANDWIDTH-bound, where activation quant buys nothing — the
 # static row-count check routes them to the bf16 path, so decode
 # numerics are identical to weight-only INT8. Trace-time static.
+# The threshold is derived from the engine's bucket ladder (strictly
+# above the largest decode batch bucket — see TPUWorker.__init__), NOT
+# hard-coded, so growing max_num_seqs can never silently flip decode
+# steps onto the activation-quant path.
 _W8A8_MIN_ROWS = [None]
 
 

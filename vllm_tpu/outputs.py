@@ -49,12 +49,17 @@ class RequestOutput:
         prompt_token_ids: List[int],
         outputs: List[CompletionOutput],
         finished: bool,
+        prompt_logprobs: Optional[List[Optional[Dict[int,
+                                                     float]]]] = None,
     ) -> None:
         self.request_id = request_id
         self.prompt = prompt
         self.prompt_token_ids = prompt_token_ids
         self.outputs = outputs
         self.finished = finished
+        # Per-prompt-position logprobs (entry 0 None), present when the
+        # request set SamplingParams.prompt_logprobs (echo+logprobs).
+        self.prompt_logprobs = prompt_logprobs
 
     @classmethod
     def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
@@ -84,8 +89,13 @@ class RequestOutput:
 
         prompt = seq_group.seqs[0].prompt
         prompt_token_ids = seq_group.seqs[0].data.prompt_token_ids
+        plp = seq_group.seqs[0].data.prompt_logprobs
+        if plp is not None and len(plp) > len(prompt_token_ids):
+            # RECOMPUTE re-prefills pack generated tokens too; the API
+            # reports prompt positions only.
+            plp = plp[:len(prompt_token_ids)]
         return cls(seq_group.request_id, prompt, prompt_token_ids, outputs,
-                   seq_group.is_finished())
+                   seq_group.is_finished(), prompt_logprobs=plp)
 
     def __repr__(self) -> str:
         return (f"RequestOutput(request_id={self.request_id}, "

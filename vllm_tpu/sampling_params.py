@@ -3,12 +3,19 @@
 Capability parity: /root/reference/vllm/sampling_params.py:41-135
 (n/best_of, presence & frequency penalties, temperature, top_p, top_k,
 beam search, stop strings, ignore_eos, max_tokens, logprobs, with the
-same greedy/beam validation invariants).
+same greedy/beam validation invariants). Beyond the reference:
+``logit_bias`` (the reference's OpenAI server rejects it) and
+``prompt_logprobs`` (per-prompt-position logprobs for echo+logprobs,
+which the reference rejects outright).
 """
 
-from typing import List, Optional, Union
+from typing import Dict, List, Optional, Union
 
 _SAMPLING_EPS = 1e-5
+
+# Per-request logit_bias entries are padded to a device bucket; more
+# than this many distinct token biases in one request is rejected.
+MAX_LOGIT_BIAS = 128
 
 
 class SamplingParams:
@@ -31,6 +38,11 @@ class SamplingParams:
         ignore_eos: keep generating past EOS.
         max_tokens: maximum output tokens to generate.
         logprobs: number of top logprobs to return per output token.
+        logit_bias: token id -> additive logit bias (OpenAI semantics:
+            applied before temperature/sampling; [-100, 100]).
+        prompt_logprobs: number of top logprobs to return per PROMPT
+            position (None disables; 0 returns just each realized
+            prompt token's logprob).
     """
 
     def __init__(
@@ -47,6 +59,8 @@ class SamplingParams:
         ignore_eos: bool = False,
         max_tokens: int = 16,
         logprobs: Optional[int] = None,
+        logit_bias: Optional[Dict[int, float]] = None,
+        prompt_logprobs: Optional[int] = None,
     ) -> None:
         self.n = n
         self.best_of = best_of if best_of is not None else n
@@ -65,6 +79,10 @@ class SamplingParams:
         self.ignore_eos = ignore_eos
         self.max_tokens = max_tokens
         self.logprobs = logprobs
+        self.logit_bias = ({int(t): float(b)
+                            for t, b in logit_bias.items()}
+                           if logit_bias else None)
+        self.prompt_logprobs = prompt_logprobs
 
         self._verify_args()
         if self.use_beam_search:
@@ -114,6 +132,22 @@ class SamplingParams:
         if self.logprobs is not None and self.logprobs < 0:
             raise ValueError(
                 f"logprobs must be non-negative, got {self.logprobs}.")
+        if self.prompt_logprobs is not None and self.prompt_logprobs < 0:
+            raise ValueError(f"prompt_logprobs must be non-negative, "
+                             f"got {self.prompt_logprobs}.")
+        if self.logit_bias is not None:
+            if len(self.logit_bias) > MAX_LOGIT_BIAS:
+                raise ValueError(
+                    f"logit_bias supports at most {MAX_LOGIT_BIAS} "
+                    f"entries, got {len(self.logit_bias)}.")
+            for t, b in self.logit_bias.items():
+                if t < 0:
+                    raise ValueError(
+                        f"logit_bias token ids must be >= 0, got {t}.")
+                if not -100.0 <= b <= 100.0:
+                    raise ValueError(
+                        f"logit_bias values must be in [-100, 100], "
+                        f"got {b}.")
 
     def _verify_beam_search(self) -> None:
         if self.best_of == 1:

@@ -63,6 +63,10 @@ class SequenceData:
         # and the executor positions past them; their values live on
         # device until the engine applies the step's outputs.
         self.pending_tokens = 0
+        # Per-prompt-position logprob dicts (entry 0 is None — no
+        # preceding context), filled by the worker when the request
+        # asked for prompt_logprobs (echo+logprobs).
+        self.prompt_logprobs: Optional[List[Dict[int, float]]] = None
 
     def append_token_id(self, token_id: int, logprob: float) -> None:
         self.output_token_ids.append(token_id)

@@ -65,6 +65,9 @@ SUPPORTED_KV_DTYPES = ("bfloat16", "float32", "int8")
 SAMPLE_BUCKETS = [1, 2, 4, 8, 16, 32]
 TOPK_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
 PAIR_BUCKETS = [8, 16, 32, 64, 128, 256]
+# Per-row logit_bias entries pad to one of these (1 = the no-bias
+# common case: a [B, 1] PAD column the static use_bias flag ignores).
+BIAS_BUCKETS = [1, 8, 32, 128]
 
 _DEFAULT_HBM_BYTES = 16 * (1 << 30)  # v5e/v5p-lite chip
 
@@ -86,7 +89,14 @@ class TPUWorker:
 
         t0 = time.perf_counter()
         self.mesh = build_mesh(parallel_config.tensor_parallel_size)
-        self.model, params = get_model(model_config)
+        # int8-w8a8 activation quantization must never trigger on a
+        # decode-sized batch (its numerics are documented as identical
+        # to weight-only INT8): the threshold sits strictly above the
+        # largest decode batch bucket, so only prefill/mixed row counts
+        # cross it.
+        self.model, params = get_model(
+            model_config,
+            w8a8_min_rows=max(scheduler_config.decode_batch_buckets) + 1)
         t1 = time.perf_counter()
         self.params = shard_params(params, self.model.param_shardings(),
                                    self.mesh)
@@ -265,6 +275,11 @@ class TPUWorker:
             + T * 2 * self.num_kv_heads * self.head_dim * 4  # KV quant f32
             + 3 * B * V * 4            # f32 logits + top-k/sort temps
         )
+        if cfg.enable_prompt_logprobs:
+            # The echo+logprobs prefill variant holds [T_pre, V] f32
+            # logits + log-softmax (+ top-k temps) for every prompt
+            # position.
+            temp += 2 * cfg.prefill_token_buckets[-1] * V * 4
         tp = self.parallel_config.tensor_parallel_size
         return int(temp // tp + (48 << 20))  # +48 MiB slack
 
@@ -314,7 +329,9 @@ class TPUWorker:
                 return SamplingTensors(abstract((n,), f32),
                                        abstract((n,), f32), abstract((n,)),
                                        abstract((n,), f32),
-                                       abstract((n,), f32), abstract((n, 16)))
+                                       abstract((n,), f32), abstract((n, 16)),
+                                       abstract((n, BIAS_BUCKETS[0])),
+                                       abstract((n, BIAS_BUCKETS[0]), f32))
 
             key = jax.ShapeDtypeStruct((2,), jnp.uint32)
             params_abs = jax.tree.map(
@@ -427,15 +444,22 @@ class TPUWorker:
     def _make_step_fn(self, kind: str, num_samples: int,
                       num_topk: int, hist_len: int, num_steps: int = 1,
                       greedy_only: bool = False,
-                      with_penalties: bool = False):
+                      with_penalties: bool = False,
+                      with_bias: bool = False,
+                      prompt_lp_topk: int = 0):
         """kind: "mixed" (prefill part + single-step decode part fused
         into one program) or "decode" (decode-only, optionally a
         multi-step scan). ``with_penalties`` (static) enables the
         presence/frequency count machinery; multi-step chunks carry the
         [B, V] count state on device, appending each sampled token, so
-        penalty requests chunk like everything else."""
+        penalty requests chunk like everything else. ``with_bias``
+        (static) enables per-row logit_bias. ``prompt_lp_topk`` > 0
+        (mixed only) additionally emits per-PROMPT-position logprobs
+        of each realized token plus its top-k alternatives (the
+        echo+logprobs / perplexity path; costs a [T, V] logits pass,
+        so it is a separate program variant)."""
         key_sig = ("step", kind, num_samples, num_topk, num_steps,
-                   greedy_only, with_penalties)
+                   greedy_only, with_penalties, with_bias, prompt_lp_topk)
         if key_sig in self._fn_cache:
             return self._fn_cache[key_sig]
         model = self.model
@@ -447,12 +471,31 @@ class TPUWorker:
 
             def step(params, kv_cache, batch, tensors, key):
                 hidden, kv_cache = model.forward(params, batch, kv_cache)
-                hidden = gather_last_hidden(hidden, batch)
-                logits = model.compute_logits(params, hidden)
+                sel = gather_last_hidden(hidden, batch)
+                logits = model.compute_logits(params, sel)
                 out = sample(logits, tensors, key, num_samples, num_topk,
-                             greedy_only, use_penalties=with_penalties)
+                             greedy_only, use_penalties=with_penalties,
+                             use_bias=with_bias)
                 if kind == "decode":
                     out = jax.tree.map(lambda x: x[None], out)  # [1, ...]
+                if prompt_lp_topk:
+                    T = batch.num_prefill_tokens
+                    tok = batch.prefill.token_ids
+                    seq = batch.prefill.seq_ids
+                    # Position i's token is predicted from position
+                    # i-1's logits WITHIN the same sequence; each
+                    # sequence's first token has no logprob (masked to
+                    # 0 here, None at the API).
+                    logp = jax.nn.log_softmax(
+                        model.compute_logits(params, hidden[:T - 1]),
+                        axis=-1)  # [T-1, V]
+                    realized = jnp.take_along_axis(
+                        logp, tok[1:][:, None], axis=-1)[:, 0]
+                    same = (seq[1:] == seq[:-1]) & (seq[1:] >= 0)
+                    plp_lps, plp_ids = jax.lax.top_k(logp, prompt_lp_topk)
+                    plp = (jnp.where(same, realized, 0.0), plp_ids,
+                           plp_lps)
+                    return kv_cache, (out, plp)
                 return kv_cache, out
         else:
             # Multi-step decode: sampled tokens feed back on device, so
@@ -492,6 +535,7 @@ class TPUWorker:
                                  jax.random.fold_in(key, j), num_samples,
                                  num_topk, greedy_only,
                                  use_penalties=with_penalties,
+                                 use_bias=with_bias,
                                  counts=counts if with_penalties else None)
                     newtok = out.samples[0]
                     if with_penalties:
@@ -568,6 +612,9 @@ class TPUWorker:
                 np.zeros((n,), np.float32),  # presence
                 np.zeros((n,), np.float32),  # frequency
                 np.full((n, hist0), int(PAD_TOKEN), np.int32),  # history
+                np.full((n, BIAS_BUCKETS[0]), int(PAD_TOKEN),
+                        np.int32),  # bias ids
+                np.zeros((n, BIAS_BUCKETS[0]), np.float32),  # bias vals
             ]
 
         S = cfg.max_prefill_seqs
@@ -592,7 +639,7 @@ class TPUWorker:
         for greedy in (1, 0):
             for T in cfg.prefill_token_buckets:
                 NP = T // self.block_size + S
-                plan = ([np.array([0, 1, 1, greedy, 0], np.int32)] + [
+                plan = ([np.array([0, 1, 1, greedy, 0, 0, 0], np.int32)] + [
                     np.zeros((T,), np.int32),  # token_ids
                     np.zeros((T,), np.int32),  # positions
                     np.full((T,), -1, np.int32),  # seq_ids
@@ -604,7 +651,7 @@ class TPUWorker:
                 self._exec_mixed(plan)
             for B in cfg.decode_batch_buckets:
                 plan = ([
-                    np.array([1, cfg.num_decode_steps, 1, greedy, 0],
+                    np.array([1, cfg.num_decode_steps, 1, greedy, 0, 0, 0],
                              np.int32)
                 ] + decode_arrays(B) + sampling_arrays(B))
                 self._exec_decode(plan)
@@ -823,7 +870,7 @@ class TPUWorker:
         n: int,
         vocab: int,
     ) -> List[np.ndarray]:
-        """Per-row sampling parameters as 6 numpy arrays (the
+        """Per-row sampling parameters as 8 numpy arrays (the
         SamplingTensors field order)."""
         temp = np.zeros((n,), np.float32)
         top_p = np.ones((n,), np.float32)
@@ -836,6 +883,12 @@ class TPUWorker:
                                 max(1, max(len(t) for _, t in rows)))
                     if need_hist else self._hist_buckets[0])
         hist = np.full((n, hist_len), int(PAD_TOKEN), np.int32)
+        bias_k = pick_bucket(
+            BIAS_BUCKETS,
+            max([len(p.logit_bias) if p.logit_bias else 0
+                 for p, _ in rows] + [1]))
+        bias_ids = np.full((n, bias_k), int(PAD_TOKEN), np.int32)
+        bias_vals = np.zeros((n, bias_k), np.float32)
         for i, (p, tokens) in enumerate(rows):
             temp[i] = p.temperature
             top_p[i] = p.top_p
@@ -845,7 +898,11 @@ class TPUWorker:
             if need_hist and tokens:
                 tail = tokens[-hist_len:]
                 hist[i, :len(tail)] = tail
-        return [temp, top_p, top_k, pres, freq, hist]
+            if p.logit_bias:
+                for j, (t, b) in enumerate(p.logit_bias.items()):
+                    bias_ids[i, j] = t
+                    bias_vals[i, j] = b
+        return [temp, top_p, top_k, pres, freq, hist, bias_ids, bias_vals]
 
     @staticmethod
     def _row_topk_need(p: SamplingParams, is_prompt: bool) -> int:
@@ -1103,13 +1160,26 @@ class TPUWorker:
                           for md in metadata_list)
         with_pen = any(p.presence_penalty != 0 or p.frequency_penalty != 0
                        for p, _ in rows)
+        with_bias = any(p.logit_bias for p, _ in rows)
+        # Prompt logprobs (echo+logprobs): the variant program also
+        # emits per-prompt-position realized + top-k logprobs.
+        plp_topk = 0
+        if any(md.sampling_params.prompt_logprobs is not None
+               for md in prompt_mds):
+            plp_topk = pick_bucket(
+                TOPK_BUCKETS,
+                max(max(md.sampling_params.prompt_logprobs or 0
+                        for md in prompt_mds), 1))
         plan = ([
             np.array([0, num_samples, num_topk, int(greedy_only),
-                      int(with_pen)], np.int32)
+                      int(with_pen), int(with_bias), plp_topk], np.int32)
         ] + prefill_arrays + decode_arrays +
             self._sampling_arrays(rows, S + B, vocab))
         self._broadcast_plan(plan)
         out = self._exec_mixed(plan)
+        plp = None
+        if plp_topk:
+            out, plp = out
 
         # Next-input-token feed for async scheduling: prompt seqs take
         # their first sampled token, decode rows their new token.
@@ -1126,17 +1196,53 @@ class TPUWorker:
                 continue
             entries.append((sid, S + r, -1 if p.is_greedy else 0))
         self._build_feed(out, entries, stepped=False)
-        return ("mixed", out, prompt_mds, decode_mds, row_seq, S, B)
+        # Packed lengths at dispatch time (RECOMPUTE re-prefills carry
+        # output tokens too, and fetch may run an iteration later).
+        pack_lens = [md.seq_data[next(iter(md.seq_data))].get_len()
+                     for md in prompt_mds]
+        return ("mixed", out, prompt_mds, decode_mds, row_seq, S, B, plp,
+                pack_lens)
 
     def _fetch_mixed(self, handle) -> List[Dict[int, SequenceOutputs]]:
-        _, out, prompt_mds, decode_mds, row_seq, S, B = handle
-        out = jax.device_get(out)
+        (_, out, prompt_mds, decode_mds, row_seq, S, B, plp,
+         pack_lens) = handle
+        out, plp = jax.device_get((out, plp))
+        if plp is not None:
+            self._attach_prompt_logprobs(prompt_mds, pack_lens, plp)
         results = self._collect_prompt_outputs(
             prompt_mds, self._slice_rows(out, 0, S))
         results.update(
             self._collect_decode_outputs(
                 decode_mds, row_seq, self._slice_rows(out, S, S + B)))
         return [results]
+
+    def _attach_prompt_logprobs(self, prompt_mds, pack_lens, plp) -> None:
+        """Slice the packed per-position logprob arrays back to their
+        sequences and attach them to the groups' SequenceData (the
+        scheduler passes live references). Entry p of a sequence's
+        list is the logprob data of ITS token p (p=0 -> None: no
+        preceding context). plp arrays are [T-1, ...]: position i of
+        the packed batch predicts packed token i+1."""
+        realized, top_ids, top_lps = plp
+        start = 0
+        for md, length in zip(prompt_mds, pack_lens):
+            k = md.sampling_params.prompt_logprobs
+            if k is None:
+                start += length
+                continue
+            lps: List[Optional[Dict[int, float]]] = [None]
+            data = md.seq_data[next(iter(md.seq_data))]
+            tokens = data.get_token_ids()
+            for p in range(1, length):
+                i = start + p - 1  # packed row predicting token p
+                d = {int(tokens[p]): float(realized[i])}
+                for t, lp in zip(top_ids[i, :k].tolist(),
+                                 top_lps[i, :k].tolist()):
+                    d.setdefault(int(t), float(lp))
+                lps.append(d)
+            for seq_data in md.seq_data.values():
+                seq_data.prompt_logprobs = lps
+            start += length
 
     @staticmethod
     def _slice_rows(out, lo: int, hi: int):
@@ -1148,16 +1254,18 @@ class TPUWorker:
                          topk_logprobs=out.topk_logprobs[lo:hi])
 
     def _exec_mixed(self, plan: List[np.ndarray]):
-        _, num_samples, num_topk, greedy_only, with_pen = (
-            int(x) for x in plan[0])
+        (_, num_samples, num_topk, greedy_only, with_pen, with_bias,
+         plp_topk) = (int(x) for x in plan[0])
         batch = MixedBatch(
             PrefillBatch(*(jnp.asarray(a) for a in plan[1:8])),
             DecodeBatch(*(jnp.asarray(a) for a in plan[8:13])))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[13:19]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[13:21]))
         hist_len = tensors.output_tokens.shape[1]
         fn = self._make_step_fn("mixed", num_samples, num_topk, hist_len,
                                 greedy_only=bool(greedy_only),
-                                with_penalties=bool(with_pen))
+                                with_penalties=bool(with_pen),
+                                with_bias=bool(with_bias),
+                                prompt_lp_topk=plp_topk)
         self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
                                 self._next_key())
         return out
@@ -1224,9 +1332,10 @@ class TPUWorker:
                           for md, _ in row_seq)
         with_pen = any(p.presence_penalty != 0 or p.frequency_penalty != 0
                        for p, _ in rows)
+        with_bias = any(p.logit_bias for p, _ in rows)
         plan = ([
             np.array([1, num_steps, num_topk, int(greedy_only),
-                      int(with_pen)], np.int32)
+                      int(with_pen), int(with_bias), 0], np.int32)
         ] + decode_arrays + self._sampling_arrays(rows, B, vocab))
         return plan, row_seq
 
@@ -1283,14 +1392,15 @@ class TPUWorker:
         return results
 
     def _exec_decode(self, plan: List[np.ndarray]):
-        _, num_steps, num_topk, greedy_only, with_pen = (
+        _, num_steps, num_topk, greedy_only, with_pen, with_bias, _ = (
             int(x) for x in plan[0])
         batch = DecodeBatch(*(jnp.asarray(a) for a in plan[1:6]))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:12]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:14]))
         hist_len = tensors.output_tokens.shape[1]
         fn = self._make_step_fn("decode", 1, num_topk, hist_len, num_steps,
                                 greedy_only=bool(greedy_only),
-                                with_penalties=bool(with_pen))
+                                with_penalties=bool(with_pen),
+                                with_bias=bool(with_bias))
         self.kv_cache, outs = fn(self.params, self.kv_cache, batch, tensors,
                                  self._next_key())
         return outs
