@@ -14,7 +14,7 @@ from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
 L, KVH, NB, BS, D = 2, 3, 8, 4, 16
 
 
-def make_cache(seed=0, quantized=False) -> KVCache:
+def make_cache(seed=0, quantized=False, scale_dtype=np.float32) -> KVCache:
     rng = np.random.default_rng(seed)
     data = rng.standard_normal(kv_cache_shape(L, KVH, NB, BS, D),
                                dtype=np.float32)
@@ -25,7 +25,8 @@ def make_cache(seed=0, quantized=False) -> KVCache:
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
     # scale page layout: [.., 2, BS, LANES] with heads in lanes
     scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
-    return KVCache(jnp.asarray(q, jnp.int8), jnp.asarray(scales_page))
+    return KVCache(jnp.asarray(q, jnp.int8),
+                   jnp.asarray(scales_page).astype(scale_dtype))
 
 
 def test_write_kv_scatters_and_drops_padding():
@@ -73,6 +74,32 @@ def test_write_kv_int8_quantizes_on_write():
                                    atol=np.abs(k[t]).max() / 127 + 1e-6)
         np.testing.assert_allclose(deq[0, b, 1, :, off], v[t],
                                    atol=np.abs(v[t]).max() / 127 + 1e-6)
+
+
+def test_write_kv_bf16_scales_roundtrip():
+    """The serving engine stores scales as bf16 (SCALE_DTYPE): the
+    scale is rounded to bf16 BEFORE quantization, so the write->dequant
+    round trip error stays within one int8 step of the stored scale
+    plus bf16 rounding (~0.4%) of the value."""
+    cache = make_cache(quantized=True, scale_dtype=jnp.bfloat16)
+    assert cache.scales.dtype == jnp.bfloat16
+    rng = np.random.default_rng(11)
+    T = 4
+    k = rng.standard_normal((T, KVH, D), dtype=np.float32) * 2.0
+    v = rng.standard_normal((T, KVH, D), dtype=np.float32) * 0.05
+    slots = np.array([2, 9, 21, 30], dtype=np.int32)
+
+    out = write_kv(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    assert out.scales.dtype == jnp.bfloat16
+    deq = np.asarray(dequantize_pages(out.data, out.scales))
+    for t, slot in enumerate(slots):
+        b, off = slot // BS, slot % BS
+        for which, ref in ((0, k), (1, v)):
+            a = np.abs(ref[t]).max()
+            np.testing.assert_allclose(
+                deq[1, b, which, :, off], ref[t],
+                atol=a / 127 + a / 256 + 1e-6)
 
 
 @pytest.mark.parametrize("quantized", [False, True])

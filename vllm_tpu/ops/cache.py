@@ -85,6 +85,16 @@ _INT8_MAX = 127.0
 # payload at tp=8).
 SCALE_LANES = 128
 
+# Scales store as bf16: the lane padding above makes scale pages 12.5%
+# of the int8 payload's HBM (most of it dead lanes — packing them is
+# blocked by Mosaic's 128-lane whole-page DMA alignment), so halving
+# the element size buys back ~6% of KV HBM (~+100 blocks on 7B) for a
+# bounded cost: dequant multiplies upcast to f32 in the kernels, and a
+# bf16 scale is exact to 8 mantissa bits — under half the int8
+# payload's own 1/254 quantization step. (Measured Δppl on the eval
+# harness: see README quality gate.)
+SCALE_DTYPE = jnp.bfloat16
+
 
 class KVCache(NamedTuple):
     """The engine's paged KV state (a single donated pytree).
@@ -105,14 +115,20 @@ class KVCache(NamedTuple):
         return self.scales is not None
 
 
-def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def quantize_kv(x: jnp.ndarray,
+                scale_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-vector int8 quantization over the trailing D axis.
 
-    Returns (int8 values, f32 scales with D dropped)."""
+    Returns (int8 values, scales with D dropped). The scale is rounded
+    to ``scale_dtype`` BEFORE quantizing, so the int8 codes are optimal
+    for the scale that actually gets stored (quantize-then-round would
+    compound both errors)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax / _INT8_MAX, 1e-10)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
-                 -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+    scale = jnp.maximum(amax / _INT8_MAX, 1e-10).astype(scale_dtype)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) /
+                  scale[..., None].astype(jnp.float32)),
+        -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
     return q, scale
 
 
@@ -126,7 +142,7 @@ def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
     kv = jnp.stack([k, v], axis=1)  # [T, 2, KVH, D]
     if scales is None:
         return kv.astype(data.dtype), None
-    q, s = quantize_kv(kv)  # s: [T, 2, KVH]
+    q, s = quantize_kv(kv, scale_dtype=scales.dtype)  # s: [T, 2, KVH]
     tpg, lpg = scales.shape[-2:]
     kvh = s.shape[-1]
     s = s.reshape(s.shape[0], 2, tpg, kvh // tpg)

@@ -187,10 +187,10 @@ def _decode_kernel(
                 # lanes of the group).
                 sck = jax.lax.slice_in_dim(
                     sck.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
-                    axis=1).swapaxes(0, 1)
+                    axis=1).swapaxes(0, 1).astype(jnp.float32)
                 scv = jax.lax.slice_in_dim(
                     scv.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
-                    axis=1).swapaxes(0, 1)
+                    axis=1).swapaxes(0, 1).astype(jnp.float32)
             s = jax.lax.dot_general(
                 qm, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
@@ -262,7 +262,7 @@ def pallas_paged_decode_attention(
             f"{scales.shape} — wrap the call in shard_map for tp>1")
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes += [
-            pltpu.VMEM((2, pages) + scales.shape[2:], jnp.float32),
+            pltpu.VMEM((2, pages) + scales.shape[2:], scales.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         operands.append(scales)

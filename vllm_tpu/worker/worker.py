@@ -39,7 +39,7 @@ from vllm_tpu.logger import init_logger
 from vllm_tpu.models.common import (DecodeBatch, MixedBatch, PrefillBatch,
                                     gather_last_hidden)
 from vllm_tpu.models.model_loader import get_model
-from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
+from vllm_tpu.ops.cache import (PAD_SLOT, SCALE_DTYPE, KVCache, copy_blocks,
                                 gather_blocks, kv_cache_shape,
                                 kv_scales_shape, scatter_blocks)
 from vllm_tpu.ops.sampling import (PAD_TOKEN, SamplingTensors, append_counts,
@@ -173,7 +173,8 @@ class TPUWorker:
                    self.block_size * self.head_dim_padded *
                    self.kv_dtype.itemsize)
         if self.kv_quantized:
-            payload += int(np.prod(self._scales_shape(1))) * 4  # f32
+            payload += (int(np.prod(self._scales_shape(1))) *
+                        jnp.dtype(SCALE_DTYPE).itemsize)
         return payload
 
     def profile_num_available_blocks(self) -> Tuple[int, int]:
@@ -371,7 +372,7 @@ class TPUWorker:
         data = jax.ShapeDtypeStruct(self._kv_shape(num_blocks),
                                     self.kv_dtype)
         scales = (jax.ShapeDtypeStruct(self._scales_shape(num_blocks),
-                                       jnp.float32)
+                                       SCALE_DTYPE)
                   if self.kv_quantized else None)
         return KVCache(data, scales)
 
@@ -381,7 +382,7 @@ class TPUWorker:
         nb = cfg.num_device_blocks
         zeros = KVCache(
             jnp.zeros(self._kv_shape(nb), self.kv_dtype),
-            jnp.zeros(self._scales_shape(nb), jnp.float32)
+            jnp.zeros(self._scales_shape(nb), SCALE_DTYPE)
             if self.kv_quantized else None)
         self.kv_cache = jax.device_put(zeros, self._kv_sharding)
         # Host swap pools hold THIS PROCESS's shard (its kv heads /
@@ -398,7 +399,8 @@ class TPUWorker:
             # Host mirror of the padded scales page layout.
             scales_shape = self._local_shape(self._scale_slices)
             self.host_scales = np.zeros(
-                (ncpu,) + scales_shape[:1] + scales_shape[2:], np.float32)
+                (ncpu,) + scales_shape[:1] + scales_shape[2:],
+                np.dtype(SCALE_DTYPE))
         self._pending_swap_outs: List[Tuple[KVCache, List[int], int]] = []
 
     # -- per-process shard geometry (multi-host swap) -------------------
