@@ -98,3 +98,85 @@ def test_quantized_matmul_w8a8_close():
                                    rtol=1e-4, atol=1e-4)
     finally:
         set_w8a8_min_rows(None)
+
+
+def test_int4_pack_roundtrip_exact():
+    """Nibble pack -> unpack recovers the int4 codes exactly, and the
+    split-half layout maps row r / r + in/2 to low / high nibbles."""
+    import numpy as np
+    from vllm_tpu.ops.quant import quantize_linear_int4, unpack_int4
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    ql = quantize_linear_int4(w)
+    assert ql.w_packed.shape == (128, 64)
+    lo, hi = unpack_int4(ql.w_packed)
+    assert int(jnp.min(lo)) >= -7 and int(jnp.max(lo)) <= 7
+    assert int(jnp.min(hi)) >= -7 and int(jnp.max(hi)) <= 7
+    # Repack matches the stored bytes.
+    repacked = jnp.bitwise_or(jnp.bitwise_and(lo.astype(jnp.int32), 0xF),
+                              jnp.left_shift(hi.astype(jnp.int32),
+                                             4)).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(repacked),
+                                  np.asarray(ql.w_packed))
+
+
+def test_int4_dequant_error_bound():
+    """Group-wise symmetric int4: |W - deq(W)| <= group_amax / 14 + eps
+    per element (half a quantization step of the group's scale)."""
+    import numpy as np
+    from vllm_tpu.ops.quant import (dequantize_linear_int4, int4_group,
+                                    quantize_linear_int4)
+    rng = np.random.default_rng(2)
+    in_dim, out = 512, 96
+    w = rng.standard_normal((in_dim, out)).astype(np.float32)
+    # Give groups very different magnitudes: group scales must adapt.
+    w[:128] *= 20.0
+    ql = quantize_linear_int4(jnp.asarray(w))
+    deq = np.asarray(dequantize_linear_int4(ql))
+    g = int4_group(in_dim)
+    half = in_dim // 2
+    for h in range(2):
+        for gi in range((in_dim // 2) // g):
+            rows = slice(h * half + gi * g, h * half + (gi + 1) * g)
+            amax = np.abs(w[rows]).max(axis=0)  # per column
+            bound = amax / 14 + 1e-6
+            assert (np.abs(w[rows] - deq[rows]) <= bound[None, :]).all()
+
+
+def test_int4_matmul_xla_matches_dequant():
+    """The w4a8 fallback matmul tracks x @ deq(W) within the combined
+    int4-weight + int8-activation error budget."""
+    import numpy as np
+    from vllm_tpu.ops.quant import (dequantize_linear_int4, int4_matmul_xla,
+                                    quantize_linear_int4)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((512, 128)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
+    ql = quantize_linear_int4(w)
+    ref = x @ dequantize_linear_int4(ql)
+    got = int4_matmul_xla(x, ql)
+    err = float(jnp.max(jnp.abs(got - ref)) /
+                (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.01, err
+
+
+def test_int4_pallas_kernel_matches_xla():
+    """The Pallas fused-dequant kernel (interpret mode) reproduces the
+    XLA w4a8 formulation on MXU-sized shapes."""
+    import os
+    import numpy as np
+    from vllm_tpu.ops.pallas.int4_matmul import pallas_int4_matmul
+    from vllm_tpu.ops.quant import int4_matmul_xla, quantize_linear_int4
+    rng = np.random.default_rng(4)
+    in_dim, out, T = 512, 256, 8
+    w = jnp.asarray(rng.standard_normal((in_dim, out)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((T, in_dim)), jnp.float32)
+    ql = quantize_linear_int4(w)
+    ref = int4_matmul_xla(x, ql)
+    os.environ["VLLM_TPU_FORCE_PALLAS_OPS"] = "1"
+    try:
+        got = pallas_int4_matmul(x, ql)
+    finally:
+        os.environ.pop("VLLM_TPU_FORCE_PALLAS_OPS", None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

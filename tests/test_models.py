@@ -217,3 +217,68 @@ def test_int8_weight_only_matches_dequantized(family, hf_pairs):
     ql = np.asarray(quant_model.compute_logits(qparams, qh))[:T]
     fl = np.asarray(ours.compute_logits(fparams, fh))[:T]
     np.testing.assert_allclose(ql, fl, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_int4_group_quant_matches_dequantized(family, hf_pairs):
+    """INT4 (w4a8): the quantized forward must track a float forward
+    over the explicitly dequantized int4 weights — the residual is the
+    per-token int8 activation quantization only (~0.5%/layer), since
+    the weights are bit-identical after dequant."""
+    import copy
+
+    from vllm_tpu.models.common import maybe_quantize
+    from vllm_tpu.ops.quant import (Int4Linear, QuantizedLinear,
+                                    dequantize_linear,
+                                    dequantize_linear_int4)
+    _, ours, params = hf_pairs[family]
+    cfg = ours.cfg
+    quant_model = build_ours(family, cfg)
+    quant_model.quantization = "int4"
+
+    qparams = maybe_quantize(quant_model, copy.deepcopy(params))
+
+    def dequant_tree(p):
+        if isinstance(p, Int4Linear):
+            return dequantize_linear_int4(p, jnp.float32)
+        if isinstance(p, QuantizedLinear):
+            return dequantize_linear(p, jnp.float32)
+        if isinstance(p, tuple):
+            return tuple(dequant_tree(x) for x in p)
+        if isinstance(p, dict):
+            return {k: dequant_tree(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [dequant_tree(x) for x in p]
+        return p
+
+    fparams = dequant_tree(qparams)
+
+    # The layer stack must actually be int4 (lm_head stays int8).
+    def is_int4(leaf):
+        if isinstance(leaf, Int4Linear):
+            return True
+        if isinstance(leaf, tuple):  # (weight, bias) pair
+            return isinstance(leaf[0], Int4Linear)
+        return False
+
+    assert all(is_int4(qparams["layers"][k])
+               for k in quant_model.QUANT_LAYER_KEYS)
+
+    prompt = [5, 9, 77, 30, 2]
+    T = len(prompt)
+    T_pad = 8
+    batch = PrefillBatch(
+        token_ids=jnp.asarray(prompt + [0] * (T_pad - T), jnp.int32),
+        positions=jnp.asarray(list(range(T)) + [0] * (T_pad - T), jnp.int32),
+        seq_ids=jnp.asarray([0] * T + [-1] * (T_pad - T), jnp.int32),
+        slot_mapping=jnp.asarray(
+            list(range(T)) + [int(PAD_SLOT)] * (T_pad - T), jnp.int32),
+        logits_indices=jnp.asarray([T - 1], jnp.int32),
+    )
+    qh, _ = quant_model.forward(qparams, batch, empty_cache(ours))
+    fh, _ = ours.forward(fparams, batch, empty_cache(ours))
+    ql = np.asarray(quant_model.compute_logits(qparams, qh))[:T]
+    fl = np.asarray(ours.compute_logits(fparams, fh))[:T]
+    scale = np.abs(fl).max() + 1e-9
+    assert np.abs(ql - fl).max() / scale < 0.05, (
+        np.abs(ql - fl).max() / scale)

@@ -88,9 +88,9 @@ class ModelConfig:
         self.use_np_cache = use_np_cache
         if quantization in ("none",):
             quantization = None
-        if quantization not in (None, "int8", "int8-w8a8"):
+        if quantization not in (None, "int8", "int8-w8a8", "int4"):
             raise ValueError(f"Unsupported quantization: {quantization} "
-                             "(have: int8, int8-w8a8)")
+                             "(have: int8, int8-w8a8, int4)")
         self.quantization = quantization
 
         if hf_config is None:
@@ -150,6 +150,16 @@ class ModelConfig:
             raise ValueError(
                 f"num_hidden_layers ({layers}) must be divisible by "
                 f"pipeline_parallel_size ({pp}).")
+        if (self.quantization == "int4"
+                and parallel_config.tensor_parallel_size > 1):
+            # The int4 matmul is a Pallas kernel whose group-scale
+            # layout isn't shard_map-wrapped yet; int8/int8-w8a8 cover
+            # multi-chip (where per-chip weight bytes already shrink
+            # by tp).
+            raise NotImplementedError(
+                "quantization='int4' currently requires "
+                "tensor_parallel_size == 1; use 'int8'/'int8-w8a8' "
+                "for multi-chip serving.")
 
 
 class CacheConfig:

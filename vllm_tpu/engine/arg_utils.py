@@ -86,7 +86,7 @@ class EngineArgs:
         parser.add_argument("--kv-cache-dtype", type=str, default="auto",
                             choices=["auto", "bfloat16", "float32", "int8"])
         parser.add_argument("--quantization", "-q", type=str, default=None,
-                            choices=["none", "int8", "int8-w8a8"],
+                            choices=["none", "int8", "int8-w8a8", "int4"],
                             help="INT8 linears: weight-only, or +per-token "
                             "activation quant for prefill-sized matmuls")
         parser.add_argument("--seed", type=int, default=0)

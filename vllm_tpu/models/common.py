@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from vllm_tpu.ops import paged_decode_attention, prefill_attention, write_kv
 from vllm_tpu.ops.cache import write_kv_pages
-from vllm_tpu.ops.quant import QuantizedLinear, quantized_matmul
+from vllm_tpu.ops.quant import Int4Linear, QuantizedLinear, quantized_matmul
 
 
 class PrefillBatch(NamedTuple):
@@ -78,8 +78,12 @@ class MixedBatch(NamedTuple):
 
 def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ w (+ b). Weights stored [in, out] (transposed from torch);
-    w may be a weight-only-INT8 QuantizedLinear."""
-    if isinstance(w, QuantizedLinear):
+    w may be a weight-only-INT8 QuantizedLinear or a group-scaled
+    Int4Linear (fused-dequant Pallas matmul)."""
+    if isinstance(w, Int4Linear):
+        from vllm_tpu.ops.pallas.int4_matmul import pallas_int4_matmul
+        y = pallas_int4_matmul(x, w)
+    elif isinstance(w, QuantizedLinear):
         y = quantized_matmul(x, w)
     else:
         y = x @ w
@@ -144,7 +148,7 @@ def maybe_quantize(model, params, w8a8_min_rows: Optional[int] = None):
     steps always keep weight-only numerics; see ops/quant.py)."""
     if model.quantization is None:
         return params
-    if model.quantization in ("int8", "int8-w8a8"):
+    if model.quantization in ("int8", "int8-w8a8", "int4"):
         from vllm_tpu.ops.quant import (quantize_model_params,
                                         set_w8a8_min_rows)
         if model.quantization == "int8-w8a8":
@@ -153,7 +157,8 @@ def maybe_quantize(model, params, w8a8_min_rows: Optional[int] = None):
         else:
             set_w8a8_min_rows(None)
         return quantize_model_params(params, model.QUANT_LAYER_KEYS,
-                                     model.QUANT_TOP_KEYS)
+                                     model.QUANT_TOP_KEYS,
+                                     int4=model.quantization == "int4")
     raise ValueError(f"Unknown quantization: {model.quantization}")
 
 
@@ -162,7 +167,8 @@ def maybe_quantize_shardings(model, shardings):
         return shardings
     from vllm_tpu.ops.quant import quantize_model_shardings
     return quantize_model_shardings(shardings, model.QUANT_LAYER_KEYS,
-                                    model.QUANT_TOP_KEYS)
+                                    model.QUANT_TOP_KEYS,
+                                    int4=model.quantization == "int4")
 
 
 def stack_layers(layers: list) -> dict:

@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fused int4-dequant matmul (w4a8).
+
+No reference counterpart (the reference's quantization story is fp16
+weights; INT4 is this framework's north-star extension): group-wise
+int4 scales can't fold into a single XLA dot the way per-column int8
+scales do (ops/quant.py), and unpacking nibbles through XLA would
+materialize a full-width weight temp in HBM — exactly the bandwidth
+the format exists to save.
+
+Design (measured rules from the round-1/2 kernels):
+- ONE query-row block: activations stay VMEM-resident for the whole
+  matmul ([T, in] int8 — 12 MB at the largest 7B bucket), so weight
+  bytes stream exactly once. The grid walks output tiles; Pallas
+  double-buffers each [in/2, BO] packed strip automatically.
+- The kernel loops over scale groups; each iteration slices 128 input
+  rows (= one MXU contraction tile) from BOTH nibble planes, feeds the
+  int8 codes straight into the MXU (int8 dots run at 2x bf16 rate and
+  the int4->int8 shifts are the only VPU work — ~3 ops/byte, hidden
+  under the weight DMA on decode rows and under the MXU on prefill
+  rows), and folds the [out]-vector group scale into the f32
+  accumulator with one multiply-add.
+- Activations pre-quantize per-token OUTSIDE the kernel (one cheap XLA
+  pass that fuses with the producing op); the [T, 1] token scales
+  multiply the result outside too, so the kernel is a pure
+  int8 x int4-codes -> f32 contraction.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_tpu.ops.quant import (Int4Linear, int4_matmul_xla,
+                                quantize_activations_int8)
+
+
+def _interpret() -> bool:
+    return bool(os.environ.get("VLLM_TPU_INTERPRET"))
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
+        return False
+    if os.environ.get("VLLM_TPU_FORCE_PALLAS_OPS"):
+        return True  # tests: interpret-mode kernels off-TPU
+    return jax.default_backend() == "tpu"
+
+
+def _int4_kernel(
+    xq_ref,  # [T, in] int8 VMEM (whole array, resident)
+    wp_ref,  # [in/2, BO] int8 VMEM (this output tile's packed strip)
+    s_ref,  # [2, NG, BO] f32 VMEM group scales
+    o_ref,  # [T, BO] out block
+    *,
+    group: int,
+    num_groups: int,
+):
+    T = xq_ref.shape[0]
+    in2 = wp_ref.shape[0]
+    xq = xq_ref[...]
+    scales = s_ref[...]  # [2, NG, BO] f32, small
+
+    def body(g, acc):
+        off = g * group
+        # One packed strip slice covers input rows [off, off+G) (low
+        # nibbles) and [in/2 + off, ...) (high nibbles).
+        p = wp_ref[pl.ds(off, group), :][...].astype(jnp.int32)
+        hi = jnp.right_shift(p, 4).astype(jnp.int8)
+        lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+        for h, nib in ((0, lo), (1, hi)):
+            xs = jax.lax.dynamic_slice_in_dim(xq, h * in2 + off, group,
+                                              axis=1)
+            z = jax.lax.dot_general(
+                xs, nib, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [T, BO]
+            sv = jax.lax.dynamic_index_in_dim(
+                jax.lax.index_in_dim(scales, h, axis=0, keepdims=False),
+                g, axis=0, keepdims=False)  # [BO]
+            acc = acc + z.astype(jnp.float32) * sv[None, :]
+        return acc
+
+    acc = jax.lax.fori_loop(0, num_groups,
+                            body, jnp.zeros((T, o_ref.shape[1]),
+                                            jnp.float32))
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pick_bo(out: int) -> int:
+    for bo in (512, 256, 128):
+        if out % bo == 0:
+            return bo
+    return out
+
+
+@jax.jit
+def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
+    """x [T, in] @ int4-packed weight -> [T, out] in x.dtype."""
+    in2, out = ql.w_packed.shape
+    ng = ql.scale.shape[1]
+    group = in2 // ng
+    if group % 128 != 0 or not _use_pallas():
+        # Tiny models (tests) fall below the MXU tile; serve them with
+        # the numerically-identical XLA formulation.
+        return int4_matmul_xla(x, ql)
+    xq, xs = quantize_activations_int8(x)
+    bo = _pick_bo(out)
+    kernel = pl.pallas_call(
+        functools.partial(_int4_kernel, group=group, num_groups=ng),
+        grid=(out // bo,),
+        in_specs=[
+            pl.BlockSpec((x.shape[0], 2 * in2), lambda o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in2, bo), lambda o: (0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ng, bo), lambda o: (0, 0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((x.shape[0], bo), lambda o: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # The resident activation block is 12 MB at the largest 7B
+            # bucket (T=1152, in=11008); strips and scratch add ~4 MB.
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )
+    y = kernel(xq, ql.w_packed, ql.scale.astype(jnp.float32))
+    return (y.astype(jnp.float32) * xs).astype(x.dtype)
