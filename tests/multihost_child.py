@@ -73,10 +73,27 @@ def main():
         saw_swap = saw_swap or bool(engine.scheduler.swapped)
     results["swapped"] = saw_swap
 
+    # Phase 2 — async (one-step-lagged) scheduling across the cluster:
+    # no beam/penalty requests, so the engine pipelines and decode rows
+    # run with pending (in-flight) tokens, exercising the plan-shipped
+    # feed-patch indices and every-process feed recording.
+    assert engine.async_scheduling
+    for i, prompt in enumerate(("pipelined", "across", "two hosts!")):
+        engine.add_request(f"a{i}", prompt, params)
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+    # The device-side token feed must have actually been recorded.
+    assert engine.worker._feed_tokens is not None
+
     # Driver eval config 5 shape: the OpenAI server running ON the
     # driver process of a multi-process cluster, streaming a completion
     # (followers keep replaying broadcast plans underneath aiohttp).
     results["openai_stream"] = _serve_openai_once(engine, tok)
+    # Per-step plan-channel overhead on the driver's critical path
+    # (scaling-efficiency evidence; asserted in the parent test).
+    results["channel"] = engine.worker._plan_channel.stats()
     engine.shutdown()
     print("RESULT " + json.dumps(results))
 

@@ -79,12 +79,13 @@ class LLMEngine:
         # Async (one-step-lagged) scheduling: dispatch iteration N+1
         # before fetching N's results, overlapping ALL host work
         # (apply, detokenize, stop checks, next schedule + dispatch)
-        # with device execution. Requires single-process (plans carry
-        # device-fed token arrays) and falls back to synchronous when
-        # beam/penalty requests are present (their host bookkeeping /
-        # count state needs last step's values).
-        import jax
-        self.async_scheduling = async_scheduling and jax.process_count() == 1
+        # with device execution. Works multi-host too: plans carry the
+        # token-feed patch indices and record selectors, and every
+        # process replays the feed from its own replicated outputs
+        # (worker.py _patch_tokens/_record_feed). Falls back to
+        # synchronous when beam/penalty requests are present (their
+        # host bookkeeping / count state needs last step's values).
+        self.async_scheduling = async_scheduling
         # (metadata_list, sched_out, worker handle) of the dispatched,
         # not-yet-applied iteration.
         self._inflight: Optional[Tuple[Any, Any, Any]] = None

@@ -5,23 +5,35 @@ Capability parity: the reference's Ray-based driver/worker split
 /root/reference/vllm/worker/worker.py:286-301 — NCCL process groups).
 TPU translation: one OS process per host (`jax.distributed.initialize`),
 a global `Mesh` spanning every chip, and GSPMD-compiled collectives
-over ICI. The Ray RPC role (shipping each step's plan to workers)
-becomes a device-mediated broadcast: process 0 runs the scheduler /
-tokenizer / HTTP servers and broadcasts the per-step host inputs; every
-process then executes the SAME jitted step on its chips. Sampled
-tokens come back replicated, so process 0 reads them locally.
+over ICI. The Ray RPC role (shipping each step's plan to workers,
+one message per worker per step — reference llm_engine.py:281-308)
+maps onto the JAX coordination service's key-value store: process 0
+(the driver, which also hosts the coordination service) publishes each
+step's packed plan under a monotonically increasing key and every
+follower blocking-reads it. This is a pure HOST-side channel:
 
-Wire protocol per step (two broadcasts):
-1. a fixed-size i32 header [kind, payload shapes...] so followers can
-   allocate matching buffers (broadcast_one_to_all requires identical
-   pytree shapes on all processes);
-2. the payload arrays themselves.
+- ONE message per step (the round-2 design paid N+2 device-mediated
+  `broadcast_one_to_all` round trips per step);
+- the driver's `key_value_set_bytes` is a localhost RPC to its own
+  coordination service (~0.8 ms measured at 1 KB, ~3 ms at 256 KB) and
+  never blocks on followers — the driver's async (one-step-lagged)
+  pipeline keeps running;
+- no device work: plan shipping doesn't contend with step programs
+  for chips or ICI (the old broadcasts compiled a psum per call).
+
+Followers fall behind at most a couple of steps — their chips
+participate in the driver program's collectives, so the driver's
+one-step-lagged fetch can't complete until every follower has
+dispatched the same program. A 256-key retention window is therefore
+hugely conservative.
 
 Also usable on one machine for testing: N CPU processes over
 localhost (tests/test_multihost.py drives a 2-process engine).
 """
 
-from typing import Any, Dict, List, Optional, Tuple
+import time
+import zlib
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
@@ -33,7 +45,8 @@ logger = init_logger(__name__)
 STEP_EXECUTE = 1
 STEP_SHUTDOWN = 2
 
-_HEADER_LEN = 16
+_DTYPES = (np.dtype(np.int32), np.dtype(np.float32), np.dtype(np.bool_))
+_DTYPE_CODE = {dt: i for i, dt in enumerate(_DTYPES)}
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -79,59 +92,121 @@ def is_driver() -> bool:
 
 
 class PlanChannel:
-    """Broadcasts one step's host-built arrays from the driver process
-    to all follower processes (device-mediated; rides ICI/DCN)."""
+    """Ships one step's host-built plan arrays from the driver process
+    to all follower processes through the coordination-service KV
+    store — one message per step, host-side only (see module doc)."""
+
+    _PREFIX = "vllm_tpu/plan/"
+    # Keys kept behind the newest; followers trail by at most the
+    # driver's dispatch-ahead depth (~2 steps), so this is a safety
+    # margin, not a tuning knob. 256 × ~10 KB compressed plans ≈ a few
+    # MB of coordinator memory.
+    _RETAIN = 256
+    _POLL_MS = 60_000  # per-wait timeout; recv loops while idle
 
     def __init__(self) -> None:
-        from jax.experimental import multihost_utils
-        self._bcast = multihost_utils.broadcast_one_to_all
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is None:
+            raise RuntimeError(
+                "PlanChannel needs jax.distributed.initialize (the "
+                "coordination-service client is missing).")
+        self._client = client
+        self._seq = 0
+        # Driver-side instrumentation (scaling-efficiency evidence):
+        # cumulative serialize+publish time and raw/wire bytes.
+        self.sends = 0
+        self.send_s = 0.0
+        self.raw_bytes = 0
+        self.wire_bytes = 0
 
     # -- driver side ---------------------------------------------------------
 
     def send(self, kind: int, arrays: List[np.ndarray]) -> None:
-        header = np.zeros((_HEADER_LEN,), np.int32)
-        header[0] = kind
-        header[1] = len(arrays)
-        # Encode each array's (ndim, shape...) compactly; all payload
-        # arrays are i32/f32 — dtype flag per array.
-        meta: List[np.ndarray] = []
-        for a in arrays:
-            assert a.ndim <= 2, "plan arrays are 1-D/2-D"
-            meta.append(
-                np.array([a.ndim, a.shape[0],
-                          a.shape[1] if a.ndim == 2 else 0,
-                          0 if a.dtype == np.int32 else 1], np.int32))
-        meta_arr = (np.concatenate(meta)
-                    if meta else np.zeros((0,), np.int32))
-        header[2] = meta_arr.shape[0]
-        self._bcast(header)
-        if meta_arr.shape[0]:
-            self._bcast(meta_arr)
-        for a in arrays:
-            self._bcast(np.ascontiguousarray(a))
+        t0 = time.perf_counter()
+        raw = self._pack(kind, arrays)
+        # Level-1 zlib: the plans are mostly bucket padding (PAD_SLOT /
+        # PAD_TOKEN runs) and compress 10-50x for ~0.1 ms — keeps the
+        # wire message well under the KV store's fast-path size (~3 ms
+        # at 256 KB measured, a cliff past ~1 MB).
+        payload = zlib.compress(raw, 1)
+        self._client.key_value_set_bytes(self._PREFIX + str(self._seq),
+                                         payload)
+        if self._seq >= self._RETAIN:
+            self._client.key_value_delete(
+                self._PREFIX + str(self._seq - self._RETAIN))
+        self._seq += 1
+        self.sends += 1
+        self.send_s += time.perf_counter() - t0
+        self.raw_bytes += len(raw)
+        self.wire_bytes += len(payload)
 
     # -- follower side -------------------------------------------------------
 
     def recv(self) -> Tuple[int, List[np.ndarray]]:
-        header = np.asarray(self._bcast(np.zeros((_HEADER_LEN,), np.int32)))
-        kind = int(header[0])
-        n = int(header[1])
-        meta_len = int(header[2])
-        metas = []
-        if meta_len:
-            meta_arr = np.asarray(
-                self._bcast(np.zeros((meta_len,), np.int32)))
-            metas = [meta_arr[i * 4:(i + 1) * 4] for i in range(n)]
-        arrays = []
-        for m in metas:
-            ndim, d0, d1, dt = (int(m[0]), int(m[1]), int(m[2]), int(m[3]))
-            shape = (d0,) if ndim == 1 else (d0, d1)
-            dtype = np.int32 if dt == 0 else np.float32
-            arrays.append(np.asarray(self._bcast(np.zeros(shape, dtype))))
+        key = self._PREFIX + str(self._seq)
+        while True:
+            try:
+                payload = self._client.blocking_key_value_get_bytes(
+                    key, self._POLL_MS)
+                break
+            except Exception as e:  # idle engine: wait again
+                if "DEADLINE" in str(e).upper():
+                    continue
+                raise
+        self._seq += 1
+        return self._unpack(zlib.decompress(payload))
+
+    # -- wire format ---------------------------------------------------------
+    # i32 header_len | i32 header [kind, n, (dtype, ndim, shape...)*n]
+    # | raw array bytes, concatenated.
+
+    @staticmethod
+    def _pack(kind: int, arrays: List[np.ndarray]) -> bytes:
+        header: List[int] = [kind, len(arrays)]
+        blobs: List[bytes] = []
+        for a in arrays:
+            a = np.ascontiguousarray(a)
+            header.extend([_DTYPE_CODE[a.dtype], a.ndim])
+            header.extend(int(d) for d in a.shape)
+            blobs.append(a.tobytes())
+        head = np.asarray(header, np.int32).tobytes()
+        return (np.int32(len(head)).tobytes() + head + b"".join(blobs))
+
+    @staticmethod
+    def _unpack(raw: bytes) -> Tuple[int, List[np.ndarray]]:
+        hlen = int(np.frombuffer(raw[:4], np.int32)[0])
+        head = np.frombuffer(raw[4:4 + hlen], np.int32)
+        kind, n = int(head[0]), int(head[1])
+        arrays: List[np.ndarray] = []
+        i, off = 2, 4 + hlen
+        for _ in range(n):
+            dt = _DTYPES[int(head[i])]
+            ndim = int(head[i + 1])
+            shape = tuple(int(d) for d in head[i + 2:i + 2 + ndim])
+            i += 2 + ndim
+            nbytes = dt.itemsize * int(np.prod(shape, dtype=np.int64))
+            arrays.append(
+                np.frombuffer(raw[off:off + nbytes],
+                              dt).reshape(shape).copy())
+            off += nbytes
         return kind, arrays
 
+    def stats(self) -> dict:
+        """Driver-side channel overhead (per-step cost the follower
+        path adds on the driver's critical host path)."""
+        return {
+            "sends": self.sends,
+            "send_ms_avg": (1e3 * self.send_s / self.sends
+                            if self.sends else 0.0),
+            "raw_kb_avg": (self.raw_bytes / 1024 / self.sends
+                           if self.sends else 0.0),
+            "wire_kb_avg": (self.wire_bytes / 1024 / self.sends
+                            if self.sends else 0.0),
+        }
 
-def pack_plan(kind_tag: int, named: Dict[str, np.ndarray]) -> List[np.ndarray]:
+
+def pack_plan(kind_tag: int, named) -> List[np.ndarray]:
     """Stable ordering for a named array dict + leading tag array."""
     keys = sorted(named)
     order = np.array([kind_tag, len(keys)], np.int32)
@@ -143,9 +218,13 @@ def follower_loop(engine_args, tokenizer=None) -> None:
     (same configs -> same mesh/shardings/compiled programs), then
     execute the steps the driver broadcasts until shutdown.
 
-    The driver's TPUWorker calls into the same PlanChannel from its
-    execute hooks (see worker.py `plan_channel`), so compiled programs
-    and collectives line up across processes.
+    The driver's TPUWorker publishes into the same PlanChannel from its
+    execute hooks (see worker.py `_broadcast_plan`), so compiled
+    programs and collectives line up across processes. The async token
+    feed replays too: each plan carries the feed-patch indices and
+    feed-record rows, and every process records its own (replicated)
+    next-token device array from its own step outputs — no extra
+    traffic (worker.py `_exec_mixed`/`_exec_decode`).
     """
     from vllm_tpu.engine.llm_engine import LLMEngine
 

@@ -62,6 +62,13 @@ except ImportError:  # pure-Python fallback below
 # kernels (north star beyond the reference).
 SUPPORTED_KV_DTYPES = ("bfloat16", "float32", "int8")
 
+# Plan-header feed modes: whether (and how) a step records the async
+# token feed from its own outputs. Carried in the plan so followers
+# replay the recording identically (multi-host async scheduling).
+FEED_NONE = 0
+FEED_FLAT = 1     # out leaves are single-step (mixed program)
+FEED_STEPPED = 2  # out leaves carry a leading fused-step axis
+
 SAMPLE_BUCKETS = [1, 2, 4, 8, 16, 32]
 TOPK_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128]
 PAIR_BUCKETS = [8, 16, 32, 64, 128, 256]
@@ -149,8 +156,13 @@ class TPUWorker:
         self._base_key = jax.random.PRNGKey(model_config.seed)
         self._step_counter = 0
         # Async-scheduling token feed: next input token per sequence
-        # from the most recently dispatched step, living on device.
-        self._feed: Optional[Tuple[Any, Dict[int, int]]] = None
+        # from the most recently dispatched step. The device array
+        # lives on EVERY process (each records it from its own
+        # replicated step outputs); the seq_id -> slot map is
+        # driver-only host bookkeeping (it shapes the idx arrays the
+        # plans carry).
+        self._feed_tokens: Optional[Any] = None
+        self._feed_map: Optional[Dict[int, int]] = None
         self._block_buckets = scheduler_config.block_table_buckets(
             self.block_size)
         self._hist_buckets = make_buckets(
@@ -624,14 +636,19 @@ class TPUWorker:
         Btop = cfg.decode_batch_buckets[-1]
 
         def decode_arrays(B):
-            tokens = self._tokens_with_feed(np.zeros((B,), np.int32), [])
+            # Raw host tokens + an all-(-1) feed-idx array: _exec_*
+            # applies the same _patch_tokens the serving path does, so
+            # the step programs' token-input avals match exactly.
             return [
-                tokens,
+                np.zeros((B,), np.int32),  # token_ids
                 np.zeros((B,), np.int32),  # positions
                 np.full((B,), int(PAD_SLOT), np.int32),  # slot_mapping
                 np.zeros((B, MB), np.int32),  # block_tables
                 np.zeros((B,), np.int32),  # context_lens
             ]
+
+        def feed_idx(B):
+            return [np.full((B,), -1, np.int32)]
 
         # Both the greedy-only and the sampled (full-vocab sort)
         # program variants: serving traffic is usually temperature > 0,
@@ -641,7 +658,8 @@ class TPUWorker:
         for greedy in (1, 0):
             for T in cfg.prefill_token_buckets:
                 NP = T // self.block_size + S
-                plan = ([np.array([0, 1, 1, greedy, 0, 0, 0], np.int32)] + [
+                plan = ([np.array([0, 1, 1, greedy, 0, 0, 0, FEED_NONE],
+                                  np.int32)] + [
                     np.zeros((T,), np.int32),  # token_ids
                     np.zeros((T,), np.int32),  # positions
                     np.full((T,), -1, np.int32),  # seq_ids
@@ -649,13 +667,14 @@ class TPUWorker:
                     np.zeros((S,), np.int32),  # logits_indices
                     np.zeros((NP,), np.int32),  # page_src
                     np.full((NP,), -1, np.int32),  # page_dst
-                ] + decode_arrays(Btop) + sampling_arrays(S + Btop))
+                ] + decode_arrays(Btop) + feed_idx(Btop) +
+                    sampling_arrays(S + Btop))
                 self._exec_mixed(plan)
             for B in cfg.decode_batch_buckets:
                 plan = ([
-                    np.array([1, cfg.num_decode_steps, 1, greedy, 0, 0, 0],
-                             np.int32)
-                ] + decode_arrays(B) + sampling_arrays(B))
+                    np.array([1, cfg.num_decode_steps, 1, greedy, 0, 0, 0,
+                              FEED_NONE], np.int32)
+                ] + decode_arrays(B) + feed_idx(B) + sampling_arrays(B))
                 self._exec_decode(plan)
         jax.block_until_ready(self.kv_cache.data)
         logger.info(
@@ -994,8 +1013,9 @@ class TPUWorker:
         """Pack decode rows into the 5 decode plan arrays; returns
         (arrays, row -> (group metadata, seq_id)). Rows whose sequence
         has in-flight (async-dispatched) tokens position past them and
-        get a placeholder token id — _tokens_with_feed patches the
-        real value in from the previous step's on-device outputs."""
+        get a placeholder token id — _patch_tokens (inside _exec_*)
+        patches the real value in from the previous step's on-device
+        outputs, on every process."""
         row_seq: List[Tuple[SequenceGroupMetadata, int]] = []
         pack_rows: List[Tuple[int, int, List[int]]] = []
         for md in metadata_list:
@@ -1064,48 +1084,48 @@ class TPUWorker:
 
         return jax.jit(select, out_shardings=self._rep)
 
-    def _tokens_with_feed(self, tokens: np.ndarray, row_seq) -> Any:
-        """Patch rows whose sequences have in-flight tokens with the
-        previous step's on-device next-token values (one jitted
-        gather — no host sync).
+    def _feed_idx(self, n: int, row_seq) -> np.ndarray:
+        """Driver side: per-row index into the live feed-token device
+        array (-1 = use the plan's host-provided token). The index
+        array travels IN the plan, so followers patch their own
+        (replicated, identically computed) feed arrays the same way —
+        this is what lets async scheduling run multi-host with zero
+        extra traffic."""
+        idx = np.full((n,), -1, np.int32)
+        for i, (md, sid) in enumerate(row_seq):
+            if md.seq_data[sid].pending_tokens > 0:
+                idx[i] = self._feed_map[sid]
+        return idx
 
-        ALWAYS applied single-process, even with nothing to patch: the
-        step programs must see one consistent token-array provenance —
-        a numpy input on some steps and a committed device array on
-        others silently compiled a SECOND variant of each 7B program
-        mid-serving (~50 s stall despite precompile).
-        """
-        if self._num_processes > 1:
-            # Multi-host plans stay host arrays; async scheduling (and
-            # so pending rows) is disabled there.
-            assert not any(md.seq_data[sid].pending_tokens
-                           for md, sid in row_seq), (
-                "async scheduling requires single-process")
-            return tokens
-        idx = np.full(tokens.shape, -1, np.int32)
-        if self._feed is not None:
-            feed_tokens, feed_map = self._feed
-            for i, (md, sid) in enumerate(row_seq):
-                if md.seq_data[sid].pending_tokens > 0:
-                    idx[i] = feed_map[sid]
-        else:
-            feed_tokens = self._placeholder_feed
-        return self._feed_patch_fn(tokens, idx, feed_tokens)
+    def _patch_tokens(self, tokens: np.ndarray, idx: np.ndarray) -> Any:
+        """Exec side (driver AND followers): patch rows whose sequences
+        have in-flight tokens with the previous step's on-device
+        next-token values (one jitted gather — no host sync).
+
+        ALWAYS applied, even with nothing to patch: the step programs
+        must see one consistent token-array provenance — a numpy input
+        on some steps and a committed device array on others silently
+        compiled a SECOND variant of each 7B program mid-serving
+        (~50 s stall despite precompile)."""
+        feed = (self._feed_tokens if self._feed_tokens is not None
+                else self._placeholder_feed)
+        return self._feed_patch_fn(tokens, idx, feed)
 
     @functools.cached_property
     def _placeholder_feed(self):
         return jnp.zeros((self.scheduler_config.max_num_seqs,), jnp.int32)
 
-    def _build_feed(self, out, entries, stepped: bool) -> None:
-        """Record the next input token per sequence from a dispatched
-        step's device outputs. entries: (seq_id, row, sample_j) with
-        sample_j < 0 meaning greedy (argmax row). ``stepped``: the out
-        leaves carry a leading fused-step axis (use the last step).
-        Entry arrays pad to max_num_seqs so the jitted select compiles
-        once per output-bucket shape."""
+    def _feed_entries(self, entries) -> Tuple[List[np.ndarray], int]:
+        """Driver side: pack this step's feed-record rows as plan
+        arrays and remap seq_id -> feed slot. entries: (seq_id, row,
+        sample_j) with sample_j < 0 meaning greedy (argmax row). Entry
+        arrays pad to max_num_seqs so the jitted select compiles once
+        per output-bucket shape. Returns ([rows, js, greedy], n) with
+        n == 0 meaning nothing to record (feed untouched; every row a
+        later step could patch is re-recorded by whichever step last
+        ran it, so a skipped record never leaves a stale slot live)."""
         if not entries:
-            self._feed = None
-            return
+            return [], 0
         pad = max(self.scheduler_config.max_num_seqs, len(entries))
         rows = np.zeros((pad,), np.int32)
         js = np.zeros((pad,), np.int32)
@@ -1114,11 +1134,18 @@ class TPUWorker:
             rows[i] = r
             js[i] = max(j, 0)
             greedy[i] = j < 0
+        self._feed_map = {sid: i for i, (sid, _, _) in enumerate(entries)}
+        return [rows, js, greedy], len(entries)
+
+    def _record_feed(self, out, plan: List[np.ndarray], at: int,
+                     stepped: bool) -> None:
+        """Exec side (driver AND followers): record the next input
+        token per sequence from this step's device outputs, using the
+        plan-shipped row/sample selectors."""
+        rows, js, greedy = plan[at], plan[at + 1], plan[at + 2]
         fn = (self._feed_select_stepped_fn
               if stepped else self._feed_select_fn)
-        tokens = fn(out.samples, out.topk_ids, rows, js, greedy)
-        self._feed = (tokens, {sid: i
-                               for i, (sid, _, _) in enumerate(entries)})
+        self._feed_tokens = fn(out.samples, out.topk_ids, rows, js, greedy)
 
     def _dispatch_mixed(self, metadata_list: List[SequenceGroupMetadata]):
         cfg = self.scheduler_config
@@ -1135,7 +1162,7 @@ class TPUWorker:
         # programs.
         B = cfg.decode_batch_buckets[-1]
         decode_arrays, row_seq = self._build_decode_arrays(decode_mds, B)
-        decode_arrays[0] = self._tokens_with_feed(decode_arrays[0], row_seq)
+        feed_idx = self._feed_idx(B, row_seq)
 
         # Sampling rows: [S prompt rows | B decode rows].
         rows: List[Tuple[SamplingParams, List[int]]] = []
@@ -1172,19 +1199,9 @@ class TPUWorker:
                 TOPK_BUCKETS,
                 max(max(md.sampling_params.prompt_logprobs or 0
                         for md in prompt_mds), 1))
-        plan = ([
-            np.array([0, num_samples, num_topk, int(greedy_only),
-                      int(with_pen), int(with_bias), plp_topk], np.int32)
-        ] + prefill_arrays + decode_arrays +
-            self._sampling_arrays(rows, S + B, vocab))
-        self._broadcast_plan(plan)
-        out = self._exec_mixed(plan)
-        plp = None
-        if plp_topk:
-            out, plp = out
-
-        # Next-input-token feed for async scheduling: prompt seqs take
-        # their first sampled token, decode rows their new token.
+        # Next-input-token feed for async scheduling (recorded
+        # on-device inside _exec_mixed, on every process): prompt seqs
+        # take their first sampled token, decode rows their new token.
         entries = []
         for i, md in enumerate(prompt_mds):
             p = md.sampling_params
@@ -1197,7 +1214,19 @@ class TPUWorker:
             if p.use_beam_search:
                 continue
             entries.append((sid, S + r, -1 if p.is_greedy else 0))
-        self._build_feed(out, entries, stepped=False)
+        feed_arrays, n_feed = self._feed_entries(entries)
+
+        plan = ([
+            np.array([0, num_samples, num_topk, int(greedy_only),
+                      int(with_pen), int(with_bias), plp_topk,
+                      FEED_FLAT if n_feed else FEED_NONE], np.int32)
+        ] + prefill_arrays + decode_arrays + [feed_idx] +
+            self._sampling_arrays(rows, S + B, vocab) + feed_arrays)
+        self._broadcast_plan(plan)
+        out = self._exec_mixed(plan)
+        plp = None
+        if plp_topk:
+            out, plp = out
         # Packed lengths at dispatch time (RECOMPUTE re-prefills carry
         # output tokens too, and fetch may run an iteration later).
         pack_lens = [md.seq_data[next(iter(md.seq_data))].get_len()
@@ -1257,11 +1286,13 @@ class TPUWorker:
 
     def _exec_mixed(self, plan: List[np.ndarray]):
         (_, num_samples, num_topk, greedy_only, with_pen, with_bias,
-         plp_topk) = (int(x) for x in plan[0])
+         plp_topk, feed_mode) = (int(x) for x in plan[0])
+        decode_tokens = self._patch_tokens(plan[8], plan[13])
         batch = MixedBatch(
             PrefillBatch(*(jnp.asarray(a) for a in plan[1:8])),
-            DecodeBatch(*(jnp.asarray(a) for a in plan[8:13])))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[13:21]))
+            DecodeBatch(decode_tokens,
+                        *(jnp.asarray(a) for a in plan[9:13])))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[14:22]))
         hist_len = tensors.output_tokens.shape[1]
         fn = self._make_step_fn("mixed", num_samples, num_topk, hist_len,
                                 greedy_only=bool(greedy_only),
@@ -1270,6 +1301,9 @@ class TPUWorker:
                                 prompt_lp_topk=plp_topk)
         self.kv_cache, out = fn(self.params, self.kv_cache, batch, tensors,
                                 self._next_key())
+        if feed_mode != FEED_NONE:
+            self._record_feed(out[0] if plp_topk else out, plan, 22,
+                              stepped=False)
         return out
 
     def _collect_prompt_outputs(self, metadata_list, out):
@@ -1314,14 +1348,15 @@ class TPUWorker:
     # -- decode --------------------------------------------------------
 
     def _decode_plan(
-        self, metadata_list: List[SequenceGroupMetadata], num_steps: int
+        self, metadata_list: List[SequenceGroupMetadata], num_steps: int,
+        record_feed: bool = True,
     ) -> Tuple[List[np.ndarray], List[Tuple[SequenceGroupMetadata, int]]]:
         cfg = self.scheduler_config
         vocab = self.model_config.get_vocab_size()
         n = sum(len(md.seq_data) for md in metadata_list)
         B = pick_bucket(cfg.decode_batch_buckets, n)
         decode_arrays, row_seq = self._build_decode_arrays(metadata_list, B)
-        decode_arrays[0] = self._tokens_with_feed(decode_arrays[0], row_seq)
+        feed_idx = self._feed_idx(B, row_seq)
         rows = [(md.sampling_params, md.seq_data[sid].output_token_ids)
                 for md, sid in row_seq]
 
@@ -1335,10 +1370,17 @@ class TPUWorker:
         with_pen = any(p.presence_penalty != 0 or p.frequency_penalty != 0
                        for p, _ in rows)
         with_bias = any(p.logit_bias for p, _ in rows)
+        entries = ([(sid, r, -1 if md.sampling_params.is_greedy else 0)
+                    for r, (md, sid) in enumerate(row_seq)
+                    if not md.sampling_params.use_beam_search]
+                   if record_feed else [])
+        feed_arrays, n_feed = self._feed_entries(entries)
         plan = ([
             np.array([1, num_steps, num_topk, int(greedy_only),
-                      int(with_pen), int(with_bias), 0], np.int32)
-        ] + decode_arrays + self._sampling_arrays(rows, B, vocab))
+                      int(with_pen), int(with_bias), 0,
+                      FEED_STEPPED if n_feed else FEED_NONE], np.int32)
+        ] + decode_arrays + [feed_idx] +
+            self._sampling_arrays(rows, B, vocab) + feed_arrays)
         return plan, row_seq
 
     def _dispatch_decode(self, metadata_list: List[SequenceGroupMetadata],
@@ -1364,14 +1406,12 @@ class TPUWorker:
         outs_c = self._exec_decode(plan_c)
         outs_b = rows_b = None
         if beam_mds:
-            plan_b, rows_b = self._decode_plan(beam_mds, 1)
+            # Beam rows never pipeline (host fork selection), so the
+            # beam side-plan must not clobber the chunk's feed record.
+            plan_b, rows_b = self._decode_plan(beam_mds, 1,
+                                               record_feed=False)
             self._broadcast_plan(plan_b)
             outs_b = self._exec_decode(plan_b)
-
-        entries = [(sid, r, -1 if md.sampling_params.is_greedy else 0)
-                   for r, (md, sid) in enumerate(rows_c)
-                   if not md.sampling_params.use_beam_search]
-        self._build_feed(outs_c, entries, stepped=True)
         return ("decode", outs_c, chunk_mds, rows_c, outs_b, beam_mds,
                 rows_b, num_steps)
 
@@ -1394,10 +1434,11 @@ class TPUWorker:
         return results
 
     def _exec_decode(self, plan: List[np.ndarray]):
-        _, num_steps, num_topk, greedy_only, with_pen, with_bias, _ = (
-            int(x) for x in plan[0])
-        batch = DecodeBatch(*(jnp.asarray(a) for a in plan[1:6]))
-        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[6:14]))
+        (_, num_steps, num_topk, greedy_only, with_pen, with_bias, _,
+         feed_mode) = (int(x) for x in plan[0])
+        tokens = self._patch_tokens(plan[1], plan[6])
+        batch = DecodeBatch(tokens, *(jnp.asarray(a) for a in plan[2:6]))
+        tensors = SamplingTensors(*(jnp.asarray(a) for a in plan[7:15]))
         hist_len = tensors.output_tokens.shape[1]
         fn = self._make_step_fn("decode", 1, num_topk, hist_len, num_steps,
                                 greedy_only=bool(greedy_only),
@@ -1405,6 +1446,8 @@ class TPUWorker:
                                 with_bias=bool(with_bias))
         self.kv_cache, outs = fn(self.params, self.kv_cache, batch, tensors,
                                  self._next_key())
+        if feed_mode != FEED_NONE:
+            self._record_feed(outs, plan, 15, stepped=True)
         return outs
 
     def _collect_decode_outputs(self, metadata_list, row_seq, out):
