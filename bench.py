@@ -33,6 +33,12 @@ def enable_persistent_compile_cache():
                                "/tmp/vllm_tpu_xla_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Warm restarts load serialized step EXECUTABLES (no re-trace /
+    # lower / compile at all — the XLA cache above only skips the
+    # backend-compile stage and still pays ~2 min of tracing/lowering
+    # for the 7B step programs). A stable path keeps bench restarts at
+    # the same commit deterministic, not axon-load dependent.
+    os.environ.setdefault("VLLM_TPU_AOT_CACHE", "/tmp/vllm_tpu_aot_cache")
 
 
 class _NullTokenizer:

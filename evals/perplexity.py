@@ -134,7 +134,8 @@ def main():
     parser.add_argument(
         "--configs", nargs="+",
         default=["fp:bfloat16", "int8kv:int8", "int8w:int8+w"],
-        help="name:kv_dtype[+w] — +w adds weight-only int8")
+        help="name:kv_dtype[+w|+w4|+w8a8] — +w adds weight-only int8, "
+        "+w4 group-scaled int4 weights, +w8a8 int8 weights+activations")
     args = parser.parse_args()
 
     from transformers import AutoTokenizer
@@ -147,8 +148,9 @@ def main():
     results = {}
     for spec in args.configs:
         name, cfg = spec.split(":")
-        quant = "int8" if cfg.endswith("+w") else None
-        kv = cfg.removesuffix("+w")
+        kv, _, wq = cfg.partition("+")
+        quant = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8",
+                 "": None}[wq]
         ppl = run_config(args.model, ids, args.seq_len, args.stride, kv,
                          quant)
         results[name] = ppl

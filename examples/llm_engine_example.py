@@ -19,15 +19,18 @@ def main(args: argparse.Namespace):
     engine_args = EngineArgs.from_cli_args(args)
     engine = LLMEngine.from_engine_args(engine_args, tokenizer=tokenizer)
 
+    # One request per sampling mode the engine distinguishes: greedy,
+    # temperature sampling with penalties, parallel sampling with a
+    # sample pool, and beam search.
     test_prompts = [
-        ("A robot may not injure a human being",
+        ("The TPU's systolic array multiplies matrices by",
          SamplingParams(temperature=0.0)),
-        ("To be or not to be,",
+        ("Paged attention splits the KV cache into",
          SamplingParams(temperature=0.8, top_k=5, presence_penalty=0.2)),
-        ("What is the meaning of life?",
+        ("Continuous batching improves throughput because",
          SamplingParams(n=2, best_of=5, temperature=0.8, top_p=0.95,
                         frequency_penalty=0.1)),
-        ("It is only with the heart that one can see rightly",
+        ("The scheduler preempts a sequence group when",
          SamplingParams(n=3, best_of=3, use_beam_search=True,
                         temperature=0.0)),
     ]

@@ -101,10 +101,12 @@ class KVCache(NamedTuple):
 
     data: [L, NB, 2, KVH, BS, D] payload (bf16/f32, or int8 quantized);
         index 0 of the ``2`` axis is K, 1 is V.
-    scales: [L, NB, 2, BS, TPG, SCALE_LANES/TPG] f32 per-vector dequant
-        scales, or None. TPG = tensor-parallel group count; group g
-        holds the scales for kv heads [g*KVH/TPG, (g+1)*KVH/TPG) in its
-        first KVH/TPG lanes. TPG == 1 (single chip) is one plain
+    scales: [L, NB, 2, BS, TPG, SCALE_LANES] per-vector dequant scales
+        (SCALE_DTYPE = bf16), or None. TPG = tensor-parallel group
+        count; group g holds the scales for kv heads
+        [g*KVH/TPG, (g+1)*KVH/TPG) in its first KVH/TPG lanes of a
+        full 128-lane tile (see kv_scales_shape for why every group
+        stays lane-tile-sized). TPG == 1 (single chip) is one plain
         128-lane axis.
     """
     data: jnp.ndarray
@@ -376,10 +378,20 @@ def kv_scales_shape(
     block_size: int,
     tp: int = 1,
 ) -> Tuple[int, int, int, int, int, int]:
-    """Trailing [TPG, SCALE_LANES/TPG] pair: TPG shards with the
-    payload's head axis; each group's first KVH/TPG lanes are live."""
-    lanes_per_group = SCALE_LANES // tp
-    assert num_kv_heads // tp <= lanes_per_group, (
+    """Trailing [TPG, SCALE_LANES] pair: TPG shards with the payload's
+    head axis; each group's first KVH/TPG lanes are live.
+
+    Every group is a FULL 128-lane tile even under tensor parallelism:
+    Mosaic requires whole-page HBM DMAs to end on a 128-lane-aligned
+    axis (measured: a 32-lane scale-page copy fails to compile —
+    "Slice shape along dimension 5 must be aligned to tiling (128)"),
+    and each shard's local scale view is its single [.., 1, lanes]
+    group. A packed [TPG, 128/TPG] layout (TP-invariant total HBM)
+    would hand tp=8 shards 16-lane pages — exactly the un-compilable
+    pattern. Cost: per-shard scale HBM under TP matches the single-chip
+    layout instead of shrinking with 1/tp; single-chip (the
+    capacity-bound case) is unchanged."""
+    assert num_kv_heads // tp <= SCALE_LANES, (
         f"kv heads per shard ({num_kv_heads}/{tp}) exceed scale lanes "
-        f"per group ({lanes_per_group})")
-    return (num_layers, num_blocks, 2, block_size, tp, lanes_per_group)
+        f"per group ({SCALE_LANES})")
+    return (num_layers, num_blocks, 2, block_size, tp, SCALE_LANES)

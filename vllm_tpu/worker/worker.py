@@ -79,6 +79,57 @@ BIAS_BUCKETS = [1, 8, 32, 128]
 _DEFAULT_HBM_BYTES = 16 * (1 << 30)  # v5e/v5p-lite chip
 
 
+def _aval_sig(args) -> Tuple:
+    """Hashable (treedef, leaf shape/dtype) signature of a step call's
+    arguments — the dispatch key for AOT-cached executables. Matches
+    jit's notion of "same program" for our call sites: no static or
+    weak-typed arguments reach the step programs (every leaf is an
+    ndarray; plan arrays are canonical numpy i32/f32)."""
+    leaves, treedef = jax.tree.flatten(args)
+    return (str(treedef),
+            tuple((l.shape, jnp.dtype(l.dtype).name) for l in leaves))
+
+
+class _StepProgram:
+    """A step-program handle: dispatches to an AOT-cached compiled
+    executable when one is registered for the argument signature, else
+    to the plain jit function.
+
+    Executables are only loaded/compiled+saved during precompile() (the
+    only phase that runs cold shapes on purpose); mid-serving lazy
+    variants (penalties / bias / prompt-logprobs) take the jit path
+    exactly as before.
+    """
+
+    __slots__ = ("jit_fn", "key_sig", "worker", "compiled")
+
+    def __init__(self, jit_fn, key_sig, worker) -> None:
+        self.jit_fn = jit_fn
+        self.key_sig = key_sig
+        self.worker = worker
+        self.compiled: Dict[Tuple, Any] = {}
+
+    def lower(self, *args):  # memory-analysis path delegates
+        return self.jit_fn.lower(*args)
+
+    def __call__(self, *args):
+        w = self.worker
+        if not self.compiled and not (w._precompiling and w._aot):
+            return self.jit_fn(*args)
+        sig = _aval_sig(args)
+        prog = self.compiled.get(sig)
+        if prog is None and w._precompiling and w._aot is not None:
+            name = w._aot.entry_name(self.key_sig, sig)
+            prog = w._aot.load(name)
+            if prog is None:
+                prog = self.jit_fn.lower(*args).compile()
+                w._aot.save(name, prog)
+            self.compiled[sig] = prog
+        if prog is not None:
+            return prog(*args)
+        return self.jit_fn(*args)
+
+
 class TPUWorker:
     """Single-controller executor over a (possibly multi-chip) mesh."""
 
@@ -168,6 +219,10 @@ class TPUWorker:
         self._hist_buckets = make_buckets(
             16, max(16, scheduler_config.max_model_len))
         self._fn_cache: Dict[Any, Any] = {}
+        # AOT program cache (warm restart): created in precompile()
+        # once the config is complete (needs the KV block count).
+        self._aot = None
+        self._precompiling = False
 
     # ------------------------------------------------------------------
     # memory sizing (parity: worker.py:59-118, re-done statically)
@@ -575,8 +630,9 @@ class TPUWorker:
         # process can fetch them locally under multi-host.
         fn = jax.jit(step_in_mesh, donate_argnums=(1,),
                      out_shardings=(self._kv_sharding, self._rep))
-        self._fn_cache[key_sig] = fn
-        return fn
+        prog = _StepProgram(fn, key_sig, self)
+        self._fn_cache[key_sig] = prog
+        return prog
 
     @functools.cached_property
     def _copy_fn(self):
@@ -609,6 +665,14 @@ class TPUWorker:
         cfg = self.scheduler_config
         t0 = time.perf_counter()
         hist0 = self._hist_buckets[0]
+        from vllm_tpu.worker.aot_cache import (AOTProgramCache,
+                                               resolve_cache_dir)
+        aot_dir = resolve_cache_dir()
+        if aot_dir is not None:
+            self._aot = AOTProgramCache(
+                aot_dir, self._aot_key_material(),
+                execution_devices=self.mesh.devices.flat)
+        self._precompiling = True
 
         # Build all-padding PLANS and run them through the exact
         # serving exec path (_exec_mixed / _exec_decode): a retrace of
@@ -677,11 +741,100 @@ class TPUWorker:
                 ] + decode_arrays(B) + feed_idx(B) + sampling_arrays(B))
                 self._exec_decode(plan)
         jax.block_until_ready(self.kv_cache.data)
+        self._precompiling = False
         logger.info(
-            "Precompiled %d mixed + %d decode programs in %.1f s.",
+            "Precompiled %d mixed + %d decode programs in %.1f s%s.",
             2 * len(cfg.prefill_token_buckets),
             2 * len(cfg.decode_batch_buckets),
-            time.perf_counter() - t0)
+            time.perf_counter() - t0,
+            f" (AOT: {self._aot.stats()})" if self._aot else "")
+        self._check_temp_estimate()
+
+    def _check_temp_estimate(self) -> None:
+        """Cross-check the analytic temp formula against XLA's measured
+        temp allocation of the ACTUAL serving programs (free when the
+        AOT path holds their Compiled handles). The formula sized the
+        KV block count; if the real temps exceed the remaining HBM
+        headroom, fail HERE — an analytic misestimate must not OOM
+        mid-serving on a model shape outside the formula's assumptions.
+        """
+        if self._aot is None or self.cache_config.num_device_blocks is None:
+            return
+        worst = 0
+        try:
+            for wrapper in self._fn_cache.values():
+                for prog in wrapper.compiled.values():
+                    mem = prog.memory_analysis()
+                    worst = max(worst,
+                                getattr(mem, "temp_size_in_bytes", 0) or 0)
+        except Exception as e:  # backend without memory stats
+            logger.debug("Temp-estimate cross-check unavailable (%s).", e)
+            return
+        if worst == 0:
+            return
+        est = self._estimate_step_temp_bytes()
+        tp = self.parallel_config.tensor_parallel_size
+        total_hbm = int(
+            os.environ.get("VLLM_TPU_HBM_BYTES", _DEFAULT_HBM_BYTES))
+        used = (self.weights_bytes // tp +
+                self.cache_config.num_device_blocks *
+                (self.block_bytes() // tp) + worst)
+        if used > total_hbm:
+            raise RuntimeError(
+                f"Step programs need {worst / 2**30:.2f} GiB of temp HBM "
+                f"but the analytic estimate assumed "
+                f"{est / 2**30:.2f} GiB and sized the KV cache into that "
+                f"margin (total demand {used / 2**30:.2f} GiB > "
+                f"{total_hbm / 2**30:.2f} GiB). Set "
+                "VLLM_TPU_EXACT_MEM_PROFILE=1 (compile-measured sizing) "
+                "or lower --gpu-memory-utilization.")
+        if worst > est:
+            logger.warning(
+                "Measured step temps (%.2f GiB) exceed the analytic "
+                "estimate (%.2f GiB); serving still fits in HBM "
+                "(%.2f of %.2f GiB) but the KV cache is sized into the "
+                "utilization slack. Consider VLLM_TPU_EXACT_MEM_PROFILE=1.",
+                worst / 2**30, est / 2**30, used / 2**30,
+                total_hbm / 2**30)
+
+    def _aot_key_material(self) -> str:
+        """Everything that must match for a cached executable to be
+        valid: the full package source (any edit invalidates), the
+        shape-determining configs (including the KV block count — it is
+        part of the donated cache aval), and the runtime (jax version,
+        backend, device kind, mesh, process)."""
+        import glob
+        import hashlib
+
+        import vllm_tpu
+        root = os.path.dirname(os.path.abspath(vllm_tpu.__file__))
+        src = hashlib.sha256()
+        for path in sorted(
+                glob.glob(os.path.join(root, "**", "*.py"),
+                          recursive=True)):
+            src.update(path.encode())
+            with open(path, "rb") as f:
+                src.update(f.read())
+        dev = jax.devices()[0]
+        hf = self.model_config.hf_config
+        bits = {
+            "src": src.hexdigest(),
+            "jax": jax.__version__,
+            "platform": dev.platform,
+            "device_kind": dev.device_kind,
+            "n_devices": jax.device_count(),
+            "process": (jax.process_index(), jax.process_count()),
+            "mesh": repr(self.mesh.shape),
+            "hf": hf.to_json_string(),
+            "model": (self.model_config.dtype, self.model_config.seed,
+                      self.model_config.quantization),
+            "cache": (self.block_size, self.cache_config.kv_cache_dtype,
+                      self.cache_config.num_device_blocks),
+            "sched": repr(vars(self.scheduler_config)),
+            "buckets": (self._block_buckets, self._hist_buckets,
+                        BIAS_BUCKETS, SAMPLE_BUCKETS, TOPK_BUCKETS),
+        }
+        return repr(sorted(bits.items()))
 
     # ------------------------------------------------------------------
     # step execution
