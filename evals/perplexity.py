@@ -114,11 +114,12 @@ def batched_nll(llm, token_ids, seq_len, stride):
     return total_nll, total_tokens
 
 
-def run_config(model_dir, dataset_ids, seq_len, stride, kv_dtype, quant):
+def run_config(model_dir, dataset_ids, seq_len, stride, kv_dtype, quant,
+               tokenizer=None, **engine_kwargs):
     from vllm_tpu import LLM
     llm = LLM(model=model_dir, kv_cache_dtype=kv_dtype, quantization=quant,
               max_model_len=seq_len + 8, max_num_seqs=1,
-              disable_log_stats=True)
+              disable_log_stats=True, tokenizer=tokenizer, **engine_kwargs)
     nll, n = batched_nll(llm, dataset_ids, seq_len, stride)
     return math.exp(nll / n)
 

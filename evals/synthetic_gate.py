@@ -9,12 +9,13 @@ so ppl deltas here measure pure quantization numerics, not language
 quality — a real-checkpoint run is mandatory before shipping any new
 quantization mode if weights are ever available locally.
 
-Usage: python evals/synthetic_gate.py [--layers 4] [--tokens 1800]
-       [--configs fp:bfloat16 int4w:int8+w4 ...]
+Usage: python evals/synthetic_gate.py [--cpu] [--layers 4]
+       [--tokens 1800] [--configs fp:bfloat16 int4w:int8+w4 ...]
 """
 
 import argparse
 import math
+import os
 import random
 import tempfile
 
@@ -45,12 +46,37 @@ def main():
         "--configs", nargs="+",
         default=["fp:bfloat16", "int8kv:int8", "int8w:int8+w",
                  "w8a8:int8+w8a8", "int4w:int8+w4"])
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend + interpreted "
+                        "Pallas (the container pins JAX_PLATFORMS "
+                        "before main() runs, so an env var alone "
+                        "cannot)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("VLLM_TPU_INTERPRET", "1")
 
     from evals.perplexity import run_config
     path = make_checkpoint(args.layers)
     rng = random.Random(17)
     ids = [rng.randrange(2, 2048) for _ in range(args.tokens)]
+
+    class _IdTokenizer:  # random checkpoints ship no tokenizer files
+        vocab_size = 2048
+        eos_token_id = None
+
+        def encode(self, text):
+            return [ord(c) % 2048 for c in text]
+
+        def convert_ids_to_tokens(self, ids, skip_special_tokens=False):
+            return [chr(i % 128) for i in ids]
+
+        def convert_tokens_to_string(self, toks):
+            return "".join(toks)
+
+    tokenizer = _IdTokenizer()
 
     results = {}
     for spec in args.configs:
@@ -58,7 +84,13 @@ def main():
         kv, _, wq = cfg.partition("+")
         quant = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8",
                  "": None}[wq]
-        ppl = run_config(path, ids, args.seq_len, args.seq_len, kv, quant)
+        # Cap the KV pool: the analytic memory sizing assumes a real
+        # accelerator's HBM and would hand this toy model a multi-GiB
+        # cache (one window of max_model_len is all the scorer needs).
+        blocks = 2 * ((args.seq_len + 8) // 16 + 2)
+        ppl = run_config(path, ids, args.seq_len, args.seq_len, kv, quant,
+                         tokenizer=tokenizer,
+                         num_device_blocks_override=blocks)
         results[name] = ppl
         print(f"{name}: kv={kv} quant={quant} ppl={ppl:.4f}", flush=True)
     if "fp" in results:
