@@ -76,13 +76,11 @@ _INT8_MAX = 127.0
 # The scales' kv-head axis pads to a full 128-lane tile: Mosaic
 # requires HBM DMA slices to be lane-aligned, and [CHUNK, lanes]
 # reshapes stay free shape casts in the decode kernel. Under tensor
-# parallelism the 128 lanes split into a [TPG, 128/TPG] (tp-groups x
-# lanes-per-group) trailing pair sharded on TPG, so each shard's local
-# scale page keeps ITS kv heads in the first kvh/tp lanes of a
-# lane-aligned tile — the head axis of the payload and the lane group
-# of the scales shard on the SAME mesh axis (scales replicating under
-# TP would cost as much HBM per shard as the entire sharded int8
-# payload at tp=8).
+# parallelism the trailing axes are a [TPG, SCALE_LANES] pair sharded
+# on TPG (one full lane tile PER shard — see kv_scales_shape), so each
+# shard's local scale page keeps ITS kv heads in the first kvh/tp
+# lanes — the head axis of the payload and the lane group of the
+# scales shard on the SAME mesh axis.
 SCALE_LANES = 128
 
 # Scales store as bf16: the lane padding above makes scale pages 12.5%

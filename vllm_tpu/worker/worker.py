@@ -118,12 +118,20 @@ class _StepProgram:
             return self.jit_fn(*args)
         sig = _aval_sig(args)
         prog = self.compiled.get(sig)
-        if prog is None and w._precompiling and w._aot is not None:
+        if (prog is None and w._precompiling and w._aot is not None
+                and not w._aot.disabled):
             name = w._aot.entry_name(self.key_sig, sig)
             prog = w._aot.load(name)
             if prog is None:
                 prog = self.jit_fn.lower(*args).compile()
                 w._aot.save(name, prog)
+                if w._aot.disabled:
+                    # Backend can't serialize: don't register the
+                    # explicitly-compiled program — fall through to the
+                    # jit path so later buckets regain the persistent
+                    # XLA cache (an AOT-style lower+compile bypasses
+                    # it on this backend).
+                    return self.jit_fn(*args)
             self.compiled[sig] = prog
         if prog is not None:
             return prog(*args)
