@@ -86,8 +86,10 @@ def _aval_sig(args) -> Tuple:
     weak-typed arguments reach the step programs (every leaf is an
     ndarray; plan arrays are canonical numpy i32/f32)."""
     leaves, treedef = jax.tree.flatten(args)
-    return (str(treedef),
-            tuple((l.shape, jnp.dtype(l.dtype).name) for l in leaves))
+    # treedef/np.dtype hash in C — this runs on the serving host path
+    # every step, so no string building here (entry_name reprs the sig
+    # once per program for the cache filename).
+    return (treedef, tuple((l.shape, l.dtype) for l in leaves))
 
 
 class _StepProgram:
