@@ -147,11 +147,15 @@ def main():
     print(f"dataset: {len(ids)} tokens, window {args.seq_len}")
 
     results = {}
+    suffixes = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8", "": None}
     for spec in args.configs:
         name, cfg = spec.split(":")
         kv, _, wq = cfg.partition("+")
-        quant = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8",
-                 "": None}[wq]
+        if wq not in suffixes:
+            raise SystemExit(
+                f"unknown weight-quant suffix '+{wq}' in --configs "
+                f"'{spec}' (valid: +w, +w4, +w8a8, or none)")
+        quant = suffixes[wq]
         ppl = run_config(args.model, ids, args.seq_len, args.stride, kv,
                          quant)
         results[name] = ppl

@@ -79,11 +79,15 @@ def main():
     tokenizer = _IdTokenizer()
 
     results = {}
+    suffixes = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8", "": None}
     for spec in args.configs:
         name, cfg = spec.split(":")
         kv, _, wq = cfg.partition("+")
-        quant = {"w": "int8", "w4": "int4", "w8a8": "int8-w8a8",
-                 "": None}[wq]
+        if wq not in suffixes:
+            raise SystemExit(
+                f"unknown weight-quant suffix '+{wq}' in --configs "
+                f"'{spec}' (valid: +w, +w4, +w8a8, or none)")
+        quant = suffixes[wq]
         # Cap the KV pool: the analytic memory sizing assumes a real
         # accelerator's HBM and would hand this toy model a multi-GiB
         # cache (one window of max_model_len is all the scorer needs).

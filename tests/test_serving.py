@@ -216,6 +216,19 @@ def test_openai_api_server(sync_engine):
             r = await client.post("/v1/completions", json={
                 "model": "tiny-opt", "prompt": [[]]})
             assert r.status == 400
+            for empty in ("", [""]):
+                r = await client.post("/v1/completions", json={
+                    "model": "tiny-opt", "prompt": empty})
+                assert r.status == 400, empty
+
+            # logprobs beyond the largest device bucket -> 400 at the
+            # wire; an unbucketable count reaching engine.step() would
+            # kill the shared step loop for every client.
+            for bad in ({"logprobs": 129},
+                        {"echo": True, "logprobs": 129}):
+                r = await client.post("/v1/completions", json={
+                    "model": "tiny-opt", "prompt": "cap", **bad})
+                assert r.status == 400, bad
 
             # non-streaming completion with usage + logprobs
             r = await client.post("/v1/completions", json={

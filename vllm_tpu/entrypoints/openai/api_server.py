@@ -90,6 +90,11 @@ def _normalize_prompts(prompt):
     error string. Accepts a string, a token-id list, a list of
     strings, or a list of token-id lists."""
     if isinstance(prompt, str):
+        if not prompt:
+            # A zero-token prompt would only fail deep inside the
+            # engine's step loop (as a stream-killing 500); reject at
+            # the wire like the empty token-list form below.
+            return "prompt entries must not be empty"
         return [(prompt, None)]
     if not isinstance(prompt, list) or len(prompt) == 0:
         return "please provide at least one prompt"
@@ -97,14 +102,14 @@ def _normalize_prompts(prompt):
         return [(None, prompt)]  # one tokenized prompt
     out = []
     for p in prompt:
-        if isinstance(p, str):
-            out.append((p, None))
-        elif isinstance(p, list) and p and isinstance(p[0], int):
-            out.append((None, p))
-        elif isinstance(p, list) and not p:
+        if isinstance(p, (str, list)) and not p:
             # A zero-length prompt has no last token to sample from —
             # the prefill packer would index row -1 and return garbage.
             return "prompt entries must not be empty"
+        if isinstance(p, str):
+            out.append((p, None))
+        elif isinstance(p, list) and isinstance(p[0], int):
+            out.append((None, p))
         else:
             return "prompt entries must be strings or token-id lists"
     return out

@@ -120,7 +120,11 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((x.shape[0], bo), lambda o: (0, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], out), x.dtype),
+        # f32 out: the per-token activation scales multiply OUTSIDE the
+        # kernel, and rounding the accumulator to bf16 before that
+        # multiply would diverge from the XLA formulation the dispatch
+        # falls back to (one rounding step, after the scale).
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # The resident activation block is 12 MB at the largest 7B
@@ -129,4 +133,4 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         interpret=_interpret(),
     )
     y = kernel(xq, ql.w_packed, ql.scale.astype(jnp.float32))
-    return (y.astype(jnp.float32) * xs).astype(x.dtype)
+    return (y * xs).astype(x.dtype)

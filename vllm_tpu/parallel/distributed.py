@@ -206,13 +206,6 @@ class PlanChannel:
         }
 
 
-def pack_plan(kind_tag: int, named) -> List[np.ndarray]:
-    """Stable ordering for a named array dict + leading tag array."""
-    keys = sorted(named)
-    order = np.array([kind_tag, len(keys)], np.int32)
-    return [order] + [np.ascontiguousarray(named[k]) for k in keys]
-
-
 def follower_loop(engine_args, tokenizer=None) -> None:
     """Run on every non-driver process: build the identical worker
     (same configs -> same mesh/shardings/compiled programs), then

@@ -17,6 +17,12 @@ _SAMPLING_EPS = 1e-5
 # than this many distinct token biases in one request is rejected.
 MAX_LOGIT_BIAS = 128
 
+# Top-k logprob counts are padded to a device bucket whose largest
+# rung is 128 (worker.TOPK_BUCKETS); values past it must be rejected
+# HERE — an unbucketable count would otherwise raise inside
+# engine.step() and kill the shared step loop for every client.
+MAX_LOGPROBS = 128
+
 
 class SamplingParams:
     """Per-request sampling configuration (OpenAI-API style).
@@ -129,12 +135,15 @@ class SamplingParams:
         if self.max_tokens < 1:
             raise ValueError(
                 f"max_tokens must be at least 1, got {self.max_tokens}.")
-        if self.logprobs is not None and self.logprobs < 0:
+        if self.logprobs is not None and not (
+                0 <= self.logprobs <= MAX_LOGPROBS):
+            raise ValueError(f"logprobs must be in [0, {MAX_LOGPROBS}], "
+                             f"got {self.logprobs}.")
+        if self.prompt_logprobs is not None and not (
+                0 <= self.prompt_logprobs <= MAX_LOGPROBS):
             raise ValueError(
-                f"logprobs must be non-negative, got {self.logprobs}.")
-        if self.prompt_logprobs is not None and self.prompt_logprobs < 0:
-            raise ValueError(f"prompt_logprobs must be non-negative, "
-                             f"got {self.prompt_logprobs}.")
+                f"prompt_logprobs must be in [0, {MAX_LOGPROBS}], "
+                f"got {self.prompt_logprobs}.")
         if self.logit_bias is not None:
             if len(self.logit_bias) > MAX_LOGIT_BIAS:
                 raise ValueError(

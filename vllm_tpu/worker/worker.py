@@ -355,9 +355,12 @@ class TPUWorker:
         )
         if cfg.enable_prompt_logprobs:
             # The echo+logprobs prefill variant holds [T_pre, V] f32
-            # logits + log-softmax (+ top-k temps) for every prompt
-            # position.
-            temp += 2 * cfg.prefill_token_buckets[-1] * V * 4
+            # logits + log-softmax + the top_k sort temps for every
+            # prompt position (same 3x convention as the sampler's
+            # [B, V] charge above). This variant compiles lazily on the
+            # first echo request — AFTER the startup cross-check ran —
+            # so under-charging it here would OOM mid-serving.
+            temp += 3 * cfg.prefill_token_buckets[-1] * V * 4
         tp = self.parallel_config.tensor_parallel_size
         return int(temp // tp + (48 << 20))  # +48 MiB slack
 
