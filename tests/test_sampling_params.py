@@ -60,3 +60,17 @@ def test_range_validation():
 def test_stop_normalization():
     assert SamplingParams(stop="foo").stop == ["foo"]
     assert SamplingParams(stop=["a", "b"]).stop == ["a", "b"]
+
+
+def test_logprobs_capped_at_device_bucket():
+    """MAX_LOGPROBS must track the worker's largest top-k bucket: a
+    validated-but-unbucketable count would raise inside engine.step()
+    and kill the shared step loop."""
+    from vllm_tpu.sampling_params import MAX_LOGPROBS
+    from vllm_tpu.worker.worker import TOPK_BUCKETS
+    assert MAX_LOGPROBS == TOPK_BUCKETS[-1]
+    SamplingParams(logprobs=MAX_LOGPROBS)
+    with pytest.raises(ValueError):
+        SamplingParams(logprobs=MAX_LOGPROBS + 1)
+    with pytest.raises(ValueError):
+        SamplingParams(prompt_logprobs=MAX_LOGPROBS + 1)
