@@ -156,6 +156,12 @@ def maybe_quantize(model, params, w8a8_min_rows: Optional[int] = None):
                               if w8a8_min_rows is not None else 257)
         else:
             set_w8a8_min_rows(None)
+        if model.quantization == "int4":
+            # One standalone tiny compile: if Mosaic rejects the int4
+            # kernel on this backend, flip to the XLA formulation now
+            # instead of failing the fused step-program compile later.
+            from vllm_tpu.ops.pallas.int4_matmul import probe_int4_kernel
+            probe_int4_kernel()
         return quantize_model_params(params, model.QUANT_LAYER_KEYS,
                                      model.QUANT_TOP_KEYS,
                                      int4=model.quantization == "int4")

@@ -34,14 +34,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_tpu.ops.quant import (Int4Linear, int4_matmul_xla,
-                                quantize_activations_int8)
+                                quantize_activations_int8,
+                                quantize_linear_int4)
 
 
 def _interpret() -> bool:
     return bool(os.environ.get("VLLM_TPU_INTERPRET"))
 
 
+# Set by probe_int4_kernel() when the kernel fails to compile on the
+# real backend: flips every int4 matmul to the numerically-identical
+# XLA formulation instead of failing the whole step-program compile.
+_KERNEL_BROKEN = [False]
+
+
 def _use_pallas() -> bool:
+    if _KERNEL_BROKEN[0]:
+        return False
     if os.environ.get("VLLM_TPU_FORCE_XLA_OPS"):
         return False
     if os.environ.get("VLLM_TPU_FORCE_PALLAS_OPS"):
@@ -49,10 +58,43 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def probe_int4_kernel() -> bool:
+    """Compile-and-run the kernel once on tiny shapes, standalone.
+
+    The int4 kernel is the one Pallas op without hardware mileage; a
+    Mosaic lowering failure inside the fused step program would abort
+    startup. Probing in isolation costs one ~128x256x256 compile and
+    turns a kernel regression into a logged XLA fallback (the decode
+    perf win is lost, correctness is not). Returns True if the Pallas
+    path is live."""
+    if not _use_pallas():
+        return False
+    import numpy as np
+
+    from vllm_tpu.logger import init_logger
+    logger = init_logger(__name__)
+    try:
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+        ql = quantize_linear_int4(w)
+        x = jnp.asarray(rng.standard_normal((8, 256)), jnp.bfloat16)
+        got = np.asarray(pallas_int4_matmul(x, ql), np.float32)
+        want = np.asarray(int4_matmul_xla(x, ql), np.float32)
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+        return True
+    except Exception as exc:  # Mosaic compile / numerics mismatch
+        logger.warning(
+            "int4 Pallas kernel failed its startup probe (%s: %s); "
+            "falling back to the XLA int4 path for this process.",
+            type(exc).__name__, exc)
+        _KERNEL_BROKEN[0] = True
+        return False
+
+
 def _int4_kernel(
     xq_ref,  # [T, in] int8 VMEM (whole array, resident)
     wp_ref,  # [in/2, BO] int8 VMEM (this output tile's packed strip)
-    s_ref,  # [2, NG, BO] f32 VMEM group scales
+    s_ref,  # [NG, 2, BO] f32 VMEM group scales (group axis leading)
     o_ref,  # [T, BO] out block
     *,
     group: int,
@@ -60,26 +102,30 @@ def _int4_kernel(
 ):
     T = xq_ref.shape[0]
     in2 = wp_ref.shape[0]
-    xq = xq_ref[...]
-    scales = s_ref[...]  # [2, NG, BO] f32, small
 
     def body(g, acc):
         off = g * group
         # One packed strip slice covers input rows [off, off+G) (low
         # nibbles) and [in/2 + off, ...) (high nibbles).
-        p = wp_ref[pl.ds(off, group), :][...].astype(jnp.int32)
+        p = wp_ref[pl.ds(off, group), :].astype(jnp.int32)
         hi = jnp.right_shift(p, 4).astype(jnp.int8)
         lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
         for h, nib in ((0, lo), (1, hi)):
-            xs = jax.lax.dynamic_slice_in_dim(xq, h * in2 + off, group,
-                                              axis=1)
+            # Slice the refs, not loaded values: Mosaic supports traced
+            # tile-aligned starts on VMEM ref loads, but NOT dynamic
+            # lane/sublane extraction from an already-loaded vector
+            # (the round-1 "only 2D gather" class of failures). Both
+            # offsets are multiples of 128 lanes (group % 128 == 0 and
+            # in2 % group == 0 gate the Pallas path).
+            xs = xq_ref[:, pl.ds(h * in2 + off, group)]
             z = jax.lax.dot_general(
                 xs, nib, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)  # [T, BO]
-            sv = jax.lax.dynamic_index_in_dim(
-                jax.lax.index_in_dim(scales, h, axis=0, keepdims=False),
-                g, axis=0, keepdims=False)  # [BO]
-            acc = acc + z.astype(jnp.float32) * sv[None, :]
+            # Scales arrive [NG, 2, BO] so the traced group index g
+            # lands on the LEADING axis — the same dynamic-index shape
+            # the validated decode kernel uses for page DMA.
+            sv = s_ref[pl.ds(g, 1), h, :]  # [1, BO] f32
+            acc = acc + z.astype(jnp.float32) * sv
         return acc
 
     acc = jax.lax.fori_loop(0, num_groups,
@@ -115,7 +161,7 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in2, bo), lambda o: (0, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, ng, bo), lambda o: (0, 0, o),
+            pl.BlockSpec((ng, 2, bo), lambda o: (0, 0, o),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((x.shape[0], bo), lambda o: (0, o),
@@ -132,5 +178,6 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
-    y = kernel(xq, ql.w_packed, ql.scale.astype(jnp.float32))
+    y = kernel(xq, ql.w_packed,
+               ql.scale.astype(jnp.float32).transpose(1, 0, 2))
     return (y * xs).astype(x.dtype)
