@@ -162,9 +162,14 @@ def main():
         kv_dtype = ("int8"
                     if "int8" in SUPPORTED_KV_DTYPES else "bfloat16")
     quant = None if args.quantization in ("none", "") else args.quantization
+    t_start = time.perf_counter()
     llm = build_llm(kv_dtype, args.max_num_seqs,
                     args.max_num_batched_tokens, quant,
                     args.num_decode_steps)
+    import sys
+    print(f"[startup] engine ready in "
+          f"{time.perf_counter() - t_start:.1f} s (weights + precompile)",
+          file=sys.stderr)
 
     vocab = 32000
     # Warmup: trigger prefill/decode bucket compilation off the clock.
@@ -195,7 +200,8 @@ def main():
               file=sys.stderr)
 
     value = out_tokens / elapsed
-    w = {"int8": "int8w", "int8-w8a8": "int8w8a8"}.get(quant, "bf16w")
+    w = {"int8": "int8w", "int8-w8a8": "int8w8a8",
+         "int4": "int4w"}.get(quant, "bf16w")
     print(json.dumps({
         "metric": f"llama7b_output_tokens_per_s_1chip_{w}_kv_{kv_dtype}",
         "value": round(value, 2),
