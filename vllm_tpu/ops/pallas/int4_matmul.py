@@ -145,7 +145,7 @@ def _pick_bo(out: int) -> int:
 def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
     """x [T, in] @ int4-packed weight -> [T, out] in x.dtype."""
     in2, out = ql.w_packed.shape
-    ng = ql.scale.shape[1]
+    ng = ql.scale.shape[0]  # scale: [NG, 2, out], group axis leading
     group = in2 // ng
     if group % 128 != 0 or not _use_pallas():
         # Tiny models (tests) fall below the MXU tile; serve them with
@@ -178,6 +178,5 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
-    y = kernel(xq, ql.w_packed,
-               ql.scale.astype(jnp.float32).transpose(1, 0, 2))
+    y = kernel(xq, ql.w_packed, ql.scale.astype(jnp.float32))
     return (y * xs).astype(x.dtype)

@@ -76,9 +76,14 @@ class Int4Linear(NamedTuple):
     w_packed: [in//2, out] int8 (or layer-stacked [L, in//2, out]) —
         byte r holds code for input-row r in its LOW nibble and
         input-row r + in//2 in its HIGH nibble.
-    scale: [2, NG, out] f32 ([L, 2, NG, out] stacked) — entry [0, g]
-        scales input rows [g*G, (g+1)*G) (the low half), [1, g] rows
+    scale: [NG, 2, out] f32 ([L, NG, 2, out] stacked) — entry [g, 0]
+        scales input rows [g*G, (g+1)*G) (the low half), [g, 1] rows
         [in//2 + g*G, ...) (the high half); G = min(INT4_GROUP, in//2).
+        The group axis leads so the matmul kernel's traced group index
+        lands on the leading (untiled) axis of the scale block WITHOUT
+        a per-call transpose (a [NG, 2, out] transpose inside the step
+        program would materialize MBs of HBM traffic per layer per
+        step).
     """
     w_packed: jnp.ndarray
     scale: jnp.ndarray
@@ -111,7 +116,10 @@ def quantize_linear_int4(w: jnp.ndarray) -> Int4Linear:
     hi = q[..., 1, :, :, :].reshape(lead + (in_dim // 2, w.shape[-1]))
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
-    return Int4Linear(packed, scale.astype(jnp.float32))
+    # Store group-axis-leading ([.., NG, 2, out]) — one transpose here
+    # instead of one per matmul call in the step program.
+    return Int4Linear(packed,
+                      jnp.swapaxes(scale.astype(jnp.float32), -3, -2))
 
 
 def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -128,10 +136,11 @@ def dequantize_linear_int4(ql: Int4Linear,
     lo, hi = unpack_int4(ql.w_packed)
     half = jnp.stack([lo, hi], axis=-3)  # [.., 2, in/2, out]
     lead = half.shape[:-3]
-    ng = ql.scale.shape[-2]
+    ng = ql.scale.shape[-3]
     out = half.shape[-1]
     grouped = half.reshape(lead + (2, ng, half.shape[-2] // ng, out))
-    w = grouped.astype(jnp.float32) * ql.scale[..., None, :]
+    s = jnp.swapaxes(ql.scale, -3, -2)  # [.., 2, NG, out]
+    w = grouped.astype(jnp.float32) * s[..., None, :]
     return w.reshape(lead + (half.shape[-2] * 2, out)).astype(dtype)
 
 
@@ -152,7 +161,7 @@ def int4_matmul_xla(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
     xq, xs = quantize_activations_int8(x)
     lo, hi = unpack_int4(ql.w_packed)  # [in/2, out] each
     in2, out = lo.shape[-2:]
-    ng = ql.scale.shape[-2]
+    ng = ql.scale.shape[-3]
     g = in2 // ng
     T = xq.shape[0]
     # [T, 2, NG, G]: halves x groups of the input axis.
@@ -165,7 +174,7 @@ def int4_matmul_xla(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)  # [NG, T, out]
         acc = acc + jnp.einsum("nto,no->to", z.astype(jnp.float32),
-                               ql.scale[h].astype(jnp.float32))
+                               ql.scale[:, h].astype(jnp.float32))
     return (acc * xs).astype(x.dtype)
 
 
