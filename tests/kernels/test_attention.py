@@ -109,3 +109,50 @@ def test_prefill_attention_packed_segments(H, KVH, impl):
         ref = naive_attention(q[sl], k[sl], v[sl], scale)
         np.testing.assert_allclose(out[sl], ref, atol=2e-3, rtol=2e-3)
         start += ln
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
+def test_paged_decode_attention_int4(H, KVH, impl):
+    """INT4 nibble-packed cache (K low nibble, V high) vs a naive
+    reference over the dequantized values."""
+    rng = np.random.default_rng(2)
+    L, NB, MB = 2, 16, 4
+    B = 4
+    context_lens = np.array([1, 23, 64, 0], dtype=np.int32)
+    block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(
+        np.int32)
+
+    from vllm_tpu.ops.cache import kv_scales_shape
+    kv_data = rng.standard_normal((L, NB, 2, KVH, BS, D), dtype=np.float32)
+    scales = np.abs(kv_data).max(-1) / 7.0 + 1e-10  # [L, NB, 2, KVH, BS]
+    codes = np.clip(np.round(kv_data / scales[..., None]), -7,
+                    7).astype(np.int8)
+    packed = ((codes[:, :, 0] & 0xF) |
+              (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
+    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
+    scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
+    kv_cache = KVCache(jnp.asarray(packed), jnp.asarray(scales_page))
+    # The reference must see exactly what the kernel dequantizes to.
+    kv_data = codes * scales[..., None]
+
+    q = rng.standard_normal((B, H, D), dtype=np.float32)
+    scale = D**-0.5
+    out = np.asarray(
+        paged_decode_attention(jnp.asarray(q), kv_cache, 1,
+                               jnp.asarray(block_tables),
+                               jnp.asarray(context_lens), scale, impl=impl))
+
+    for i in range(B):
+        ctx = context_lens[i]
+        if ctx == 0:
+            assert np.isfinite(out[i]).all()
+            continue
+        ks = np.concatenate(
+            [np.moveaxis(kv_data[1, b, 0], 1, 0) for b in block_tables[i]],
+            axis=0)[:ctx]
+        vs = np.concatenate(
+            [np.moveaxis(kv_data[1, b, 1], 1, 0) for b in block_tables[i]],
+            axis=0)[:ctx]
+        ref = naive_attention(q[i], ks, vs, scale)
+        np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=2e-3)

@@ -164,3 +164,106 @@ def test_pallas_write_kv_tokens_matches_xla(quantized):
         # around quantize_kv).
         np.testing.assert_allclose(np.asarray(got.scales),
                                    np.asarray(ref.scales), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# INT4 nibble-packed cache (K low nibble, V high — ops/cache.py KVCache)
+# ---------------------------------------------------------------------
+
+def make_cache_int4(seed=0) -> KVCache:
+    """Random int4 cache built directly in numpy (codes in [-7, 7])."""
+    from vllm_tpu.ops.cache import SCALE_DTYPE
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(-7, 8, kv_cache_shape(L, KVH, NB, BS, D),
+                         dtype=np.int8)  # [L, NB, 2, KVH, BS, D]
+    packed = ((codes[:, :, 0] & 0xF) |
+              (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
+    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
+    scales_page[..., 0, :KVH] = np.swapaxes(
+        rng.uniform(0.05, 0.5, (L, NB, 2, KVH, BS)).astype(np.float32),
+        -1, -2)
+    return KVCache(jnp.asarray(packed),
+                   jnp.asarray(scales_page).astype(SCALE_DTYPE))
+
+
+def test_pack_unpack_int4_roundtrip():
+    from vllm_tpu.ops.cache import pack_kv_int4, unpack_kv_int4
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.integers(-7, 8, (5, KVH, D), dtype=np.int8))
+    v = jnp.asarray(rng.integers(-7, 8, (5, KVH, D), dtype=np.int8))
+    ku, vu = unpack_kv_int4(pack_kv_int4(k, v))
+    np.testing.assert_array_equal(np.asarray(ku), np.asarray(k))
+    np.testing.assert_array_equal(np.asarray(vu), np.asarray(v))
+
+
+def test_write_kv_int4_quantizes_on_write():
+    from vllm_tpu.ops.cache import SCALE_DTYPE
+    cache = KVCache(
+        jnp.zeros(kv_cache_shape(L, KVH, NB, BS, D, kv_planes=1),
+                  jnp.int8),
+        jnp.zeros(kv_scales_shape(L, KVH, NB, BS), SCALE_DTYPE))
+    rng = np.random.default_rng(4)
+    T = 4
+    k = rng.standard_normal((T, KVH, D), dtype=np.float32) * 3.0
+    v = rng.standard_normal((T, KVH, D), dtype=np.float32) * 0.1
+    slots = np.array([0, 5, 17, int(PAD_SLOT)], dtype=np.int32)
+
+    out = write_kv(cache, 0, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    assert out.data.shape[2] == 1  # packed plane preserved
+    deq = np.asarray(dequantize_pages(out.data, out.scales))
+
+    for t, slot in enumerate(slots):
+        if slot == int(PAD_SLOT):
+            continue
+        b, off = slot // BS, slot % BS
+        # Per-vector symmetric int4 + bf16 scale: |err| <= amax/7
+        # (code step) + amax/7/256 (scale rounding).
+        for which, ref in ((0, k[t]), (1, v[t])):
+            a = np.abs(ref).max()
+            np.testing.assert_allclose(deq[0, b, which, :, off], ref,
+                                       atol=a / 7 * 1.01 + a / 256 + 1e-6)
+
+
+def test_pallas_write_kv_tokens_matches_xla_int4():
+    from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+    cache = make_cache_int4(7)
+    rng = np.random.default_rng(9)
+    T = 6
+    k = rng.standard_normal((T, KVH, D), dtype=np.float32)
+    v = rng.standard_normal((T, KVH, D), dtype=np.float32)
+    slots = np.array([0, 5, 17, 30, int(PAD_SLOT), 9], dtype=np.int32)
+
+    ref = write_kv(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    got = pallas_write_kv_tokens(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(slots))
+    np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
+    np.testing.assert_allclose(np.asarray(got.scales),
+                               np.asarray(ref.scales), rtol=1e-6)
+
+
+def test_copy_and_swap_int4():
+    cache = make_cache_int4(3)
+    src = np.array([1, 3], dtype=np.int32)
+    dst = np.array([6, 7], dtype=np.int32)
+    out = copy_blocks(cache, jnp.asarray(src), jnp.asarray(dst))
+    ref = np.asarray(cache.data).copy()
+    ref[:, 6] = ref[:, 1]
+    ref[:, 7] = ref[:, 3]
+    np.testing.assert_array_equal(np.asarray(out.data), ref)
+
+    ids = np.array([2, 5], dtype=np.int32)
+    staged = gather_blocks(cache, jnp.asarray(ids))
+    assert staged.data.shape == (L, 2, 1, KVH, BS, D)
+    wiped = np.asarray(cache.data).copy()
+    wiped[:, ids] = 0
+    wiped_scales = np.asarray(cache.scales).copy()
+    wiped_scales[:, ids] = 0
+    restored = scatter_blocks(
+        KVCache(jnp.asarray(wiped), jnp.asarray(wiped_scales)),
+        jnp.asarray(ids), staged)
+    np.testing.assert_array_equal(np.asarray(restored.data),
+                                  np.asarray(cache.data))
+    np.testing.assert_array_equal(np.asarray(restored.scales),
+                                  np.asarray(cache.scales))

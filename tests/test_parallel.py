@@ -88,7 +88,23 @@ def test_tp8_int8_kv_matches_tp1(checkpoint):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8"])
+def test_tp8_int4_kv_matches_tp1(checkpoint):
+    """INT4 nibble-packed KV under TP: the packed payload shards on kv
+    heads exactly like int8 (the plane axis is 1), scales on their
+    tp-group axis."""
+    prompts = ["packed kv", "four bit pages"]
+    params = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    ref = [o.outputs[0].token_ids
+           for o in make_llm(checkpoint, 1, kv_cache_dtype="int4").generate(
+               prompts, params, use_tqdm=False)]
+    tp8 = [o.outputs[0].token_ids
+           for o in make_llm(checkpoint, 8, kv_cache_dtype="int4").generate(
+               prompts, params, use_tqdm=False)]
+    assert tp8 == ref
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("kv_dtype", ["bfloat16", "int8", "int4"])
 def test_tp8_pallas_shard_map_matches_xla(checkpoint, kv_dtype,
                                           monkeypatch):
     """The Pallas kernels must run PER-SHARD under tp (shard_map over

@@ -183,7 +183,7 @@ class CacheConfig:
         self.swap_space_bytes = int(swap_space * _GiB)
         if kv_cache_dtype == "auto":
             kv_cache_dtype = "bfloat16"
-        if kv_cache_dtype not in ("bfloat16", "float32", "int8"):
+        if kv_cache_dtype not in ("bfloat16", "float32", "int8", "int4"):
             raise ValueError(f"Unsupported kv_cache_dtype: {kv_cache_dtype}")
         self.kv_cache_dtype = kv_cache_dtype
         self.num_device_blocks_override = num_device_blocks_override

@@ -84,7 +84,8 @@ class EngineArgs:
                             choices=["auto", "bfloat16", "float16",
                                      "float32"])
         parser.add_argument("--kv-cache-dtype", type=str, default="auto",
-                            choices=["auto", "bfloat16", "float32", "int8"])
+                            choices=["auto", "bfloat16", "float32", "int8",
+                                     "int4"])
         parser.add_argument("--quantization", "-q", type=str, default=None,
                             choices=["none", "int8", "int8-w8a8", "int4"],
                             help="INT8 linears: weight-only, or +per-token "

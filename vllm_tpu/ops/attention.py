@@ -90,7 +90,9 @@ def paged_decode_attention(
         return paged_decode_attention(pad_head(q, Dc), kv_cache, layer,
                                       block_tables, context_lens, scale,
                                       impl)[..., :D]
-    if _use_pallas(impl):
+    from vllm_tpu.ops.cache import int4_kv_pallas_ok
+    if _use_pallas(impl) and (kv_cache.kv_planes == 2
+                              or int4_kv_pallas_ok()):
         from vllm_tpu.ops.pallas.paged_attention import (
             pallas_paged_decode_attention)
         from vllm_tpu.parallel.mesh import (KV_CACHE_SPEC, KV_SCALES_SPEC,

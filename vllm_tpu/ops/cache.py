@@ -47,6 +47,78 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Set by probe_int4_kv_kernels() when the nibble-packed cache trips a
+# Mosaic lowering failure on the real backend: int4-KV calls then take
+# the numerically-identical XLA paths instead of aborting the step
+# compile (int8/bf16 caches are unaffected).
+_INT4_KV_BROKEN = [False]
+
+
+def int4_kv_pallas_ok() -> bool:
+    return not _INT4_KV_BROKEN[0]
+
+
+def probe_int4_kv_kernels() -> bool:
+    """Compile-and-run the kv-write + paged-decode kernels once on a
+    tiny nibble-packed cache, standalone.
+
+    The int4-KV kernel variants are the newest Mosaic code paths; a
+    lowering failure inside the fused step program would abort startup.
+    One isolated tiny compile turns that into a logged XLA fallback
+    (the bandwidth win is lost, correctness is not). Returns True if
+    the Pallas int4-KV path is live."""
+    if not _use_pallas():
+        return False
+    import numpy as np
+
+    from vllm_tpu.logger import init_logger
+    logger = init_logger(__name__)
+    try:
+        from vllm_tpu.ops.attention import _xla_paged_decode_attention
+        from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+        from vllm_tpu.ops.pallas.paged_attention import (
+            pallas_paged_decode_attention)
+        L, NB, KVH, BS, D, B = 1, 8, 2, 16, 128, 4
+        cache = KVCache(
+            jnp.zeros((L, NB, 1, KVH, BS, D), jnp.int8),
+            jnp.zeros((L, NB, 2, BS, 1, SCALE_LANES), SCALE_DTYPE))
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+        slots = jnp.asarray([0, BS, 2 * BS, 3 * BS], jnp.int32)
+        written = pallas_write_kv_tokens(cache, 0, k, v, slots)
+        q = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+        tables = jnp.arange(B * 2, dtype=jnp.int32).reshape(B, 2)
+        ctx = jnp.ones((B,), jnp.int32)
+        got = np.asarray(
+            pallas_paged_decode_attention(q, written, 0, tables, ctx, 1.0),
+            np.float32)
+        # Reference: the same tokens through the XLA write + attention
+        # fallbacks (identical quantization; only the accumulation
+        # order differs).
+        prev = os.environ.get("VLLM_TPU_FORCE_XLA_OPS")
+        os.environ["VLLM_TPU_FORCE_XLA_OPS"] = "1"
+        try:
+            ref_c = write_kv(cache, 0, k, v, slots)
+        finally:
+            if prev is None:
+                del os.environ["VLLM_TPU_FORCE_XLA_OPS"]
+            else:
+                os.environ["VLLM_TPU_FORCE_XLA_OPS"] = prev
+        want = np.asarray(
+            _xla_paged_decode_attention(q, ref_c, 0, tables, ctx, 1.0),
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+        return True
+    except Exception as exc:  # Mosaic compile / numerics mismatch
+        logger.warning(
+            "int4 KV Pallas kernels failed their startup probe (%s: %s); "
+            "falling back to the XLA paged-KV paths for this process.",
+            type(exc).__name__, exc)
+        _INT4_KV_BROKEN[0] = True
+        return False
+
+
 # Out-of-bounds sentinel for padded index slots (writes become no-ops).
 PAD_SLOT = jnp.iinfo(jnp.int32).max
 
@@ -72,6 +144,8 @@ def pad_head(x: jnp.ndarray, target: int) -> jnp.ndarray:
 
 # Symmetric int8 range.
 _INT8_MAX = 127.0
+# Symmetric int4 range ([-7, 7]; matches the int4 weight codes).
+_INT4_MAX = 7.0
 
 # The scales' kv-head axis pads to a full 128-lane tile: Mosaic
 # requires HBM DMA slices to be lane-aligned, and [CHUNK, lanes]
@@ -98,9 +172,17 @@ class KVCache(NamedTuple):
     """The engine's paged KV state (a single donated pytree).
 
     data: [L, NB, 2, KVH, BS, D] payload (bf16/f32, or int8 quantized);
-        index 0 of the ``2`` axis is K, 1 is V.
+        index 0 of the ``2`` axis is K, 1 is V. INT4 caches collapse
+        that axis to 1 ([L, NB, 1, KVH, BS, D] int8): each byte packs
+        the token's K code in its LOW nibble and its V code in the HIGH
+        nibble, so a page keeps the full 128-lane tile (Mosaic DMA
+        alignment rules out packing along head_dim) and every shape,
+        sharding spec, swap slice and copy below stays axis-compatible
+        with the int8 layout. Detection is by that axis
+        (``kv_planes``), never by dtype — both store int8.
     scales: [L, NB, 2, BS, TPG, SCALE_LANES] per-vector dequant scales
-        (SCALE_DTYPE = bf16), or None. TPG = tensor-parallel group
+        (SCALE_DTYPE = bf16), or None; the K/V axis stays 2 even for
+        int4 (K and V scale independently). TPG = tensor-parallel group
         count; group g holds the scales for kv heads
         [g*KVH/TPG, (g+1)*KVH/TPG) in its first KVH/TPG lanes of a
         full 128-lane tile (see kv_scales_shape for why every group
@@ -114,35 +196,66 @@ class KVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.scales is not None
 
+    @property
+    def kv_planes(self) -> int:
+        """2 = separate K/V planes (bf16/f32/int8); 1 = nibble-packed
+        int4 (K low, V high)."""
+        return self.data.shape[2]
+
 
 def quantize_kv(x: jnp.ndarray,
-                scale_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-vector int8 quantization over the trailing D axis.
+                scale_dtype=jnp.float32,
+                qmax: float = _INT8_MAX
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-vector quantization over the trailing D axis
+    (qmax=127 -> int8 codes; qmax=7 -> int4 codes in an int8 carrier).
 
     Returns (int8 values, scales with D dropped). The scale is rounded
-    to ``scale_dtype`` BEFORE quantizing, so the int8 codes are optimal
+    to ``scale_dtype`` BEFORE quantizing, so the codes are optimal
     for the scale that actually gets stored (quantize-then-round would
     compound both errors)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = jnp.maximum(amax / _INT8_MAX, 1e-10).astype(scale_dtype)
+    scale = jnp.maximum(amax / qmax, 1e-10).astype(scale_dtype)
     q = jnp.clip(
         jnp.round(x.astype(jnp.float32) /
                   scale[..., None].astype(jnp.float32)),
-        -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
+        -qmax, qmax).astype(jnp.int8)
     return q, scale
 
 
+def pack_kv_int4(k_codes: jnp.ndarray, v_codes: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-token K/V int4 codes (int8 carriers in [-7, 7]) into
+    one byte each: K in the low nibble, V in the high nibble."""
+    return jnp.bitwise_or(jnp.bitwise_and(k_codes, 0xF),
+                          jnp.left_shift(v_codes, 4)).astype(jnp.int8)
+
+
+def unpack_kv_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_kv_int4 -> (k_codes, v_codes) as int8.
+
+    Sign-extends through int32 shifts — the same Mosaic-validated
+    idiom as the int4 weight kernel (ops/pallas/int4_matmul.py)."""
+    p = packed.astype(jnp.int32)
+    k = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+    v = jnp.right_shift(p, 4).astype(jnp.int8)
+    return k, v
+
+
 def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
-    """Stack K/V rows into page-order ([T, 2, KVH, D]) and quantize if
-    the cache is int8. Returns (payload [T, 2, KVH, D],
-    scales [T, 2, TPG, LPG] | None) — head h's scale goes to group
-    h // (KVH/TPG), local lane h % (KVH/TPG), matching the cache's
-    tp-grouped scale layout."""
+    """Stack K/V rows into page-order ([T, C, KVH, D], C = the cache's
+    kv_planes) and quantize if the cache is int8/int4. Returns
+    (payload [T, C, KVH, D], scales [T, 2, TPG, LPG] | None) — head
+    h's scale goes to group h // (KVH/TPG), local lane h % (KVH/TPG),
+    matching the cache's tp-grouped scale layout."""
     data, scales = kv_cache
     kv = jnp.stack([k, v], axis=1)  # [T, 2, KVH, D]
     if scales is None:
         return kv.astype(data.dtype), None
-    q, s = quantize_kv(kv, scale_dtype=scales.dtype)  # s: [T, 2, KVH]
+    int4 = kv_cache.kv_planes == 1
+    q, s = quantize_kv(kv, scale_dtype=scales.dtype,
+                       qmax=_INT4_MAX if int4 else _INT8_MAX)
+    if int4:  # [T, 2, KVH, D] codes -> [T, 1, KVH, D] packed bytes
+        q = pack_kv_int4(q[:, 0], q[:, 1])[:, None]
     tpg, lpg = scales.shape[-2:]
     kvh = s.shape[-1]
     s = s.reshape(s.shape[0], 2, tpg, kvh // tpg)
@@ -171,7 +284,7 @@ def write_kv(
     if k.shape[-1] != Dp:
         k = pad_head(k, Dp)
         v = pad_head(v, Dp)
-    if _use_pallas():
+    if _use_pallas() and (kv_cache.kv_planes == 2 or int4_kv_pallas_ok()):
         from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
         from vllm_tpu.parallel.mesh import current_tp_mesh
         mesh = current_tp_mesh()
@@ -342,9 +455,12 @@ def scatter_blocks(
 
 def dequantize_pages(data: jnp.ndarray,
                      scales: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """[..., 2, KVH, BS, D] int8 pages + [..., 2, BS, TPG, LPG] scales
-    -> f32 (testing / XLA fallback path; the Pallas kernels fuse this
-    into attention)."""
+    """[..., C, KVH, BS, D] pages (C=2 bf16/f32/int8, C=1 packed int4)
+    + [..., 2, BS, TPG, LPG] scales -> f32 with C=2 (testing / XLA
+    fallback path; the Pallas kernels fuse this into attention)."""
+    if data.shape[-4] == 1:  # int4: unpack K/V nibbles back to 2 planes
+        kc, vc = unpack_kv_int4(data[..., 0, :, :, :])
+        data = jnp.stack([kc, vc], axis=-4)
     x = data.astype(jnp.float32)
     if scales is None:
         return x
@@ -365,8 +481,11 @@ def kv_cache_shape(
     num_blocks: int,
     block_size: int,
     head_dim: int,
+    kv_planes: int = 2,
 ) -> Tuple[int, int, int, int, int, int]:
-    return (num_layers, num_blocks, 2, num_kv_heads, block_size, head_dim)
+    """kv_planes: 2 = separate K/V planes; 1 = nibble-packed int4."""
+    return (num_layers, num_blocks, kv_planes, num_kv_heads, block_size,
+            head_dim)
 
 
 def kv_scales_shape(

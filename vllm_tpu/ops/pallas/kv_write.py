@@ -127,7 +127,9 @@ def pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping):
     _, NB, _, KVH, BS, D = data.shape
     B = k.shape[0]
     quantized = scales is not None
-    kv, kv_scales = _combine_quantize(kv_cache, k, v)  # [B, 2, KVH, D]
+    # [B, C, KVH, D] — C = kv_planes (1 for nibble-packed int4); the
+    # kernel's page merge broadcasts over whatever C the payload has.
+    kv, kv_scales = _combine_quantize(kv_cache, k, v)
 
     operands = []
     out_shapes = [jax.ShapeDtypeStruct(data.shape, data.dtype)]
@@ -139,7 +141,7 @@ def pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping):
         pl.BlockSpec(memory_space=pltpu.VMEM),  # kv rows
         pl.BlockSpec(memory_space=pl.ANY),  # cache data
     ]
-    scratch_shapes = [pltpu.VMEM((B, 2, KVH, BS, D), data.dtype)]
+    scratch_shapes = [pltpu.VMEM((B,) + data.shape[2:], data.dtype)]
     if quantized:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kv scale rows

@@ -67,6 +67,7 @@ def _decode_kernel(
     block_size: int,
     pages: int,
     quantized: bool,
+    packed: bool,
 ):
     if quantized:
         (scales_hbm, o_ref, kv_buf, sems, s_buf, s_sems) = rest
@@ -159,11 +160,22 @@ def _decode_kernel(
             # page broadcasts straight along lanes). ``[...]`` forces a
             # full VALUE load — slicing a transformed ref with integer
             # indices falls into an unsupported gather path on Mosaic.
-            kvb = kv_buf[slot][...]  # [P, 2, KVH, BS, D]
+            kvb = kv_buf[slot][...]  # [P, C, KVH, BS, D]
             # lax.index_in_dim: jnp's mixed int/slice indexing lowers
             # through a gather Mosaic doesn't support.
-            kb = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
-            vb = jax.lax.index_in_dim(kvb, 1, axis=1, keepdims=False)
+            if packed:
+                # INT4: one plane, K in the low nibble, V in the high.
+                # Sign-extend through int32 shifts (the Mosaic-validated
+                # idiom from the int4 weight kernel); the int8 codes
+                # then ride the same MXU path as int8 KV.
+                p32 = jax.lax.index_in_dim(kvb, 0, axis=1,
+                                           keepdims=False).astype(jnp.int32)
+                kb = jnp.right_shift(jnp.left_shift(p32, 28),
+                                     28).astype(jnp.int8)
+                vb = jnp.right_shift(p32, 4).astype(jnp.int8)
+            else:
+                kb = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
+                vb = jax.lax.index_in_dim(kvb, 1, axis=1, keepdims=False)
             if not quantized:
                 kb = kb.astype(mxu_dtype)
                 vb = vb.astype(mxu_dtype)
@@ -235,9 +247,10 @@ def pallas_paged_decode_attention(
 ) -> jnp.ndarray:
     B, H, D = q.shape
     data, scales = kv_cache
-    _, NB, _, KVH, BS, _ = data.shape
+    _, NB, C, KVH, BS, _ = data.shape
     G = H // KVH
     quantized = scales is not None
+    packed = C == 1  # int4: K/V nibble-packed into one plane
 
     q_grouped = q.reshape(B, KVH, G, D)
     pages = min(_PAGES_PER_CHUNK, block_tables.shape[1])
@@ -247,7 +260,7 @@ def pallas_paged_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, pages, 2, KVH, BS, D), data.dtype),
+        pltpu.VMEM((2, pages) + data.shape[2:], data.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     operands = [q_grouped, data]
@@ -277,9 +290,15 @@ def pallas_paged_decode_attention(
 
     kernel = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale,
-                          block_size=BS, pages=pages, quantized=quantized),
+                          block_size=BS, pages=pages, quantized=quantized,
+                          packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
+        # The int4 unpack widens a chunk's payload through int32 temps
+        # (~4x the packed bytes); raise the scoped-VMEM ceiling so
+        # Mosaic doesn't reject the kernel at larger chunk shapes.
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024) if packed else None),
         interpret=_interpret(),
     )
 

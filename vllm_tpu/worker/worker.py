@@ -57,10 +57,12 @@ try:  # native host-side batch packer (csrc/host/plan_packer.cpp)
 except ImportError:  # pure-Python fallback below
     _plan_packer = None
 
-# KV dtypes the executor supports; int8 quantizes on write with
-# per-token-per-head scales and dequantizes inside the attention
-# kernels (north star beyond the reference).
-SUPPORTED_KV_DTYPES = ("bfloat16", "float32", "int8")
+# KV dtypes the executor supports; int8/int4 quantize on write with
+# per-token-per-head scales and dequantize inside the attention
+# kernels (north star beyond the reference). int4 nibble-packs K and V
+# into one int8 plane (ops/cache.py KVCache) — half the KV HBM and
+# half the decode attention's page bandwidth vs int8.
+SUPPORTED_KV_DTYPES = ("bfloat16", "float32", "int8", "int4")
 
 # Plan-header feed modes: whether (and how) a step records the async
 # token feed from its own outputs. Carried in the plan so followers
@@ -192,8 +194,12 @@ class TPUWorker:
             raise NotImplementedError(
                 f"kv_cache_dtype={cache_config.kv_cache_dtype} is not "
                 f"supported yet (have: {SUPPORTED_KV_DTYPES}).")
-        self.kv_quantized = cache_config.kv_cache_dtype == "int8"
-        self.kv_dtype = jnp.dtype(cache_config.kv_cache_dtype)
+        self.kv_quantized = cache_config.kv_cache_dtype in ("int8", "int4")
+        # int4 stores nibble-packed bytes: the array dtype is int8 with
+        # the K/V plane axis collapsed to 1 (kv_planes).
+        self.kv_planes = 1 if cache_config.kv_cache_dtype == "int4" else 2
+        self.kv_dtype = jnp.dtype("int8" if self.kv_quantized else
+                                  cache_config.kv_cache_dtype)
 
         self.kv_cache: Optional[KVCache] = None
         self.host_pool: Optional[np.ndarray] = None
@@ -245,8 +251,10 @@ class TPUWorker:
 
     def block_bytes(self) -> int:
         """Global bytes of one KV block across all layers (parity:
-        cache_engine.py:132-146), including dequant scales if int8."""
-        payload = (self.num_layers * 2 * self.num_kv_heads *
+        cache_engine.py:132-146), including dequant scales if
+        quantized. kv_planes folds the int4 packing in (1 plane of
+        int8 bytes holds both K and V)."""
+        payload = (self.num_layers * self.kv_planes * self.num_kv_heads *
                    self.block_size * self.head_dim_padded *
                    self.kv_dtype.itemsize)
         if self.kv_quantized:
@@ -441,7 +449,8 @@ class TPUWorker:
 
     def _kv_shape(self, num_blocks):
         return kv_cache_shape(self.num_layers, self.num_kv_heads, num_blocks,
-                              self.block_size, self.head_dim_padded)
+                              self.block_size, self.head_dim_padded,
+                              kv_planes=self.kv_planes)
 
     def _scales_shape(self, num_blocks):
         return kv_scales_shape(self.num_layers, self.num_kv_heads,
@@ -460,6 +469,12 @@ class TPUWorker:
         cfg = self.cache_config
         assert cfg.num_device_blocks is not None
         nb = cfg.num_device_blocks
+        if self.kv_planes == 1:
+            # Standalone tiny compile of the nibble-packed kernel
+            # variants: a Mosaic regression becomes a logged XLA
+            # fallback instead of a failed step-program compile.
+            from vllm_tpu.ops.cache import probe_int4_kv_kernels
+            probe_int4_kv_kernels()
         zeros = KVCache(
             jnp.zeros(self._kv_shape(nb), self.kv_dtype),
             jnp.zeros(self._scales_shape(nb), SCALE_DTYPE)
