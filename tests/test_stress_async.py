@@ -38,7 +38,7 @@ def checkpoint(tmp_path_factory):
     return str(path)
 
 
-def make_engine(checkpoint, async_mode):
+def make_engine(checkpoint, async_mode, **overrides):
     llm = LLM(model=checkpoint, tokenizer=MockTokenizer(VOCAB),
               dtype="float32", block_size=4,
               # Tight: forces preempt (RECOMPUTE for greedy groups,
@@ -46,7 +46,7 @@ def make_engine(checkpoint, async_mode):
               num_device_blocks_override=16, swap_space=0.001,
               max_model_len=MAX_LEN, max_num_batched_tokens=32,
               max_num_seqs=8, max_prefill_seqs=4, num_decode_steps=2,
-              async_scheduling=async_mode)
+              async_scheduling=async_mode, **overrides)
     return llm.llm_engine
 
 
@@ -125,6 +125,21 @@ def test_async_matches_sync_randomized(checkpoint):
     async_engine = make_engine(checkpoint, async_mode=True)
     assert async_engine.async_scheduling
     for seed in range(SEEDS):
+        expected = run_workload(sync_engine, seed)
+        got = run_workload(async_engine, seed)
+        assert got == expected, f"seed {seed} diverged"
+
+
+def test_async_matches_sync_int4_everything(checkpoint):
+    """The same adversarial workload with BOTH int4 modes on (nibble-
+    packed KV + w4a8 weights): preemption, swap, COW and the async
+    feed all run against the packed page layout. Fewer seeds — the
+    point is soak coverage of the int4 bookkeeping, not re-proving the
+    scheduler."""
+    kwargs = dict(kv_cache_dtype="int4", quantization="int4")
+    sync_engine = make_engine(checkpoint, async_mode=False, **kwargs)
+    async_engine = make_engine(checkpoint, async_mode=True, **kwargs)
+    for seed in range(5):
         expected = run_workload(sync_engine, seed)
         got = run_workload(async_engine, seed)
         assert got == expected, f"seed {seed} diverged"
