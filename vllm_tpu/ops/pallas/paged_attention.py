@@ -46,6 +46,19 @@ _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
 
 
+def _pages_per_chunk() -> int:
+    """Pipeline chunk size in pages, env-tunable for on-hardware
+    sweeps (VLLM_TPU_PAGES_PER_CHUNK). The tradeoff is real on both
+    sides: a sequence's final chunk fetches and masks ~chunk/2 wasted
+    tokens on average (pure HBM-bandwidth loss at serving context
+    lengths), while smaller chunks issue more DMAs per sequence and
+    the kernel is issue-rate-sensitive. 16 pages (256 tokens at
+    block_size 16) measured best in round 1 on int8 pages; int4
+    halves the per-page bytes, which may move the optimum."""
+    return int(os.environ.get("VLLM_TPU_PAGES_PER_CHUNK",
+                              _PAGES_PER_CHUNK))
+
+
 def _interpret() -> bool:
     return bool(os.environ.get("VLLM_TPU_INTERPRET"))
 
@@ -253,7 +266,7 @@ def pallas_paged_decode_attention(
     packed = C == 1  # int4: K/V nibble-packed into one plane
 
     q_grouped = q.reshape(B, KVH, G, D)
-    pages = min(_PAGES_PER_CHUNK, block_tables.shape[1])
+    pages = min(_pages_per_chunk(), block_tables.shape[1])
 
     in_specs = [
         pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
