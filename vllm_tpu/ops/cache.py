@@ -96,15 +96,7 @@ def probe_int4_kv_kernels() -> bool:
         # Reference: the same tokens through the XLA write + attention
         # fallbacks (identical quantization; only the accumulation
         # order differs).
-        prev = os.environ.get("VLLM_TPU_FORCE_XLA_OPS")
-        os.environ["VLLM_TPU_FORCE_XLA_OPS"] = "1"
-        try:
-            ref_c = write_kv(cache, 0, k, v, slots)
-        finally:
-            if prev is None:
-                del os.environ["VLLM_TPU_FORCE_XLA_OPS"]
-            else:
-                os.environ["VLLM_TPU_FORCE_XLA_OPS"] = prev
+        ref_c = _xla_write_kv(cache, 0, k, v, slots)
         want = np.asarray(
             _xla_paged_decode_attention(q, ref_c, 0, tables, ctx, 1.0),
             np.float32)
@@ -315,6 +307,20 @@ def write_kv(
         data, scales = fn(kv_cache.data, kv_cache.scales, k, v,
                           slot_mapping)
         return KVCache(data, scales)
+    return _xla_write_kv(kv_cache, layer, k, v, slot_mapping)
+
+
+def _xla_write_kv(
+    kv_cache: KVCache,
+    layer: int,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+) -> KVCache:
+    """write_kv's XLA body (fallback path; also the reference the
+    int4-KV probe compares the Pallas kernel against — callable
+    directly, so the probe never has to steer dispatch through global
+    state)."""
     data, scales = kv_cache
     num_blocks, _, kvh, block_size, d = data.shape[1:]
     block_ids = jnp.clip(slot_mapping // block_size, 0, num_blocks - 1)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.cache import KVCache
+from vllm_tpu.ops.cache import KVCache, unpack_kv_int4
 
 _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
@@ -54,9 +54,22 @@ def _pages_per_chunk() -> int:
     lengths), while smaller chunks issue more DMAs per sequence and
     the kernel is issue-rate-sensitive. 16 pages (256 tokens at
     block_size 16) measured best in round 1 on int8 pages; int4
-    halves the per-page bytes, which may move the optimum."""
-    return int(os.environ.get("VLLM_TPU_PAGES_PER_CHUNK",
-                              _PAGES_PER_CHUNK))
+    halves the per-page bytes, which may move the optimum.
+
+    Read at TRACE time: set the var before the engine builds — a
+    mid-process change cannot affect already-compiled programs."""
+    raw = os.environ.get("VLLM_TPU_PAGES_PER_CHUNK")
+    if raw is None:
+        return _PAGES_PER_CHUNK
+    try:
+        pages = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"VLLM_TPU_PAGES_PER_CHUNK={raw!r} is not an integer") from None
+    if pages < 1:
+        raise ValueError(
+            f"VLLM_TPU_PAGES_PER_CHUNK must be >= 1, got {pages}")
+    return pages
 
 
 def _interpret() -> bool:
@@ -178,14 +191,11 @@ def _decode_kernel(
             # through a gather Mosaic doesn't support.
             if packed:
                 # INT4: one plane, K in the low nibble, V in the high.
-                # Sign-extend through int32 shifts (the Mosaic-validated
-                # idiom from the int4 weight kernel); the int8 codes
-                # then ride the same MXU path as int8 KV.
-                p32 = jax.lax.index_in_dim(kvb, 0, axis=1,
-                                           keepdims=False).astype(jnp.int32)
-                kb = jnp.right_shift(jnp.left_shift(p32, 28),
-                                     28).astype(jnp.int8)
-                vb = jnp.right_shift(p32, 4).astype(jnp.int8)
+                # unpack_kv_int4 sign-extends through int32 shifts (the
+                # Mosaic-validated idiom from the int4 weight kernel);
+                # the int8 codes then ride the same MXU path as int8 KV.
+                kb, vb = unpack_kv_int4(
+                    jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False))
             else:
                 kb = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
                 vb = jax.lax.index_in_dim(kvb, 1, axis=1, keepdims=False)

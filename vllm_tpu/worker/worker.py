@@ -861,8 +861,32 @@ class TPUWorker:
             "sched": repr(vars(self.scheduler_config)),
             "buckets": (self._block_buckets, self._hist_buckets,
                         BIAS_BUCKETS, SAMPLE_BUCKETS, TOPK_BUCKETS),
+            # Anything else that changes the traced step programs
+            # without changing source or configs: kernel-tuning env
+            # knobs and the startup probes' Pallas-vs-XLA dispatch
+            # outcomes (a libtpu change can flip a probe between runs
+            # of the same build).
+            "env": {
+                k: os.environ.get(k, "")
+                for k in ("VLLM_TPU_PAGES_PER_CHUNK",
+                          "VLLM_TPU_FORCE_XLA_OPS",
+                          "VLLM_TPU_FORCE_PALLAS_OPS",
+                          "VLLM_TPU_INTERPRET")
+            },
+            "probes": self._kernel_probe_state(),
         }
         return repr(sorted(bits.items()))
+
+    @staticmethod
+    def _kernel_probe_state() -> Tuple[bool, bool]:
+        """Dispatch outcomes of the startup kernel probes (part of the
+        AOT cache key — they select which implementation the step
+        programs trace). Call AFTER the probes ran (weight load probes
+        int4 matmul; init_cache probes int4-KV), which precompile()'s
+        ordering guarantees."""
+        from vllm_tpu.ops.cache import int4_kv_pallas_ok
+        from vllm_tpu.ops.pallas.int4_matmul import _KERNEL_BROKEN
+        return (bool(_KERNEL_BROKEN[0]), not int4_kv_pallas_ok())
 
     # ------------------------------------------------------------------
     # step execution
