@@ -127,6 +127,31 @@ def run(llm, reqs):
     return elapsed, prompt_tokens, out_tokens
 
 
+def _backend_watchdog(deadline_s: int = 900) -> None:
+    """Fail loudly if backend init hangs (observed: the axon tunnel's
+    device enumeration can stall indefinitely when the TPU service is
+    degraded). jax.devices() runs in a thread; the C-level hang can't
+    be interrupted, so on deadline we report and hard-exit nonzero —
+    no JSON result line is printed, which keeps a dead backend from
+    being recorded as a (zero) benchmark number."""
+    import os
+    import sys
+    import threading
+    done = threading.Event()
+
+    def check():
+        import jax
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=check, daemon=True).start()
+    if not done.wait(deadline_s):
+        print(f"bench: backend init did not complete within {deadline_s}s "
+              f"(TPU service unreachable?) — aborting without a result.",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def main():
     parser = argparse.ArgumentParser()
     # 1000 requests = the reference benchmark_throughput.py default
@@ -155,6 +180,7 @@ def main():
         args.num_requests = min(args.num_requests, 8)
         args.max_num_seqs = min(args.max_num_seqs, 8)
     enable_persistent_compile_cache()
+    _backend_watchdog()
 
     from vllm_tpu.worker.worker import SUPPORTED_KV_DTYPES
     kv_dtype = args.kv_cache_dtype
