@@ -53,6 +53,10 @@ def main():
 
     if not is_driver():
         follower_loop(args, tokenizer=tok)
+        # Second engine in the SAME cluster session (regression: the
+        # plan channel's coordination-service keys are write-once, so
+        # engine 2 must publish under a fresh epoch prefix).
+        follower_loop(args, tokenizer=tok)
         return
 
     from vllm_tpu import SamplingParams
@@ -95,6 +99,17 @@ def main():
     # (scaling-efficiency evidence; asserted in the parent test).
     results["channel"] = engine.worker._plan_channel.stats()
     engine.shutdown()
+
+    # Phase 3 — a SECOND engine in the same cluster session: its plan
+    # channel must start at a fresh key epoch (coordination-service
+    # keys are write-once; engine 1's keys are still live).
+    engine2 = LLMEngine.from_engine_args(args, tokenizer=tok)
+    engine2.add_request("e2", "second engine", params)
+    while engine2.has_unfinished_requests():
+        for out in engine2.step():
+            if out.finished:
+                results[out.request_id] = out.outputs[0].token_ids
+    engine2.shutdown()
     print("RESULT " + json.dumps(results))
 
 

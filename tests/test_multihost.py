@@ -104,3 +104,18 @@ def test_two_process_engine_matches_single(checkpoint, tmp_path):
                 ref[out.request_id] = out.outputs[0].token_ids
     for rid in ("0", "1", "2", "a0", "a1", "a2"):
         assert dist_results[rid] == ref[rid], rid
+
+    # The second engine built in the same cluster session (fresh plan
+    # epoch) must generate correctly too.
+    engine2 = LLM(model=checkpoint, tokenizer=MockTokenizer(VOCAB),
+                  dtype="float32", block_size=4,
+                  num_device_blocks_override=64, swap_space=0.001,
+                  max_model_len=48, max_num_batched_tokens=32,
+                  max_num_seqs=8, max_prefill_seqs=4).llm_engine
+    engine2.add_request("e2", "second engine", params)
+    ref2 = {}
+    while engine2.has_unfinished_requests():
+        for out in engine2.step():
+            if out.finished:
+                ref2[out.request_id] = out.outputs[0].token_ids
+    assert dist_results["e2"] == ref2["e2"]

@@ -195,6 +195,31 @@ def test_openai_api_server(sync_engine):
                                      lp["top_logprobs"][1:n_prompt]):
                 assert top[tok] == tlp
             r = await client.post("/v1/completions", json={
+                "model": "tiny-opt", "prompt": "echo lp", "echo": True,
+                "logprobs": 2, "max_tokens": 3, "temperature": 0.0,
+                "ignore_eos": True, "stream": True})
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            offsets, tokens = [], []
+            for line in raw.splitlines():
+                if not line.startswith("data: ") or line.endswith("[DONE]"):
+                    continue
+                c = json.loads(line[len("data: "):])["choices"][0]
+                if c["logprobs"] is not None:
+                    offsets.extend(c["logprobs"]["text_offset"])
+                    tokens.extend(c["logprobs"]["tokens"])
+            # Streaming echo+logprobs: offsets are consistent across
+            # the prompt chunk and the completion chunks — each token's
+            # offset is the accumulated length of everything before it
+            # (the completion offsets continue AFTER the echoed prompt
+            # instead of restarting at 0).
+            assert len(tokens) == n_prompt + 3
+            acc = 0
+            for tok, off in zip(tokens, offsets):
+                assert off == acc, (tokens, offsets)
+                acc += len(tok)
+
+            r = await client.post("/v1/completions", json={
                 "model": "tiny-opt", "prompt": "echo me", "echo": True,
                 "max_tokens": 3, "temperature": 0.0, "ignore_eos": True})
             assert r.status == 200

@@ -231,6 +231,15 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
         echo_pending = [want_prompt_logprobs] * n_prompts
         previous_texts = [[""] * body.n for _ in range(n_prompts)]
         previous_num_tokens = [[0] * body.n for _ in range(n_prompts)]
+        # With echo, each choice's accumulated text starts with the
+        # echoed prompt, so completion logprobs' text_offset must
+        # continue AFTER it (matching the non-streaming path, where one
+        # LogProbs covers prompt + completion contiguously).
+        echo_len = [0] * n_prompts
+        if body.echo:
+            for i, (text, ids) in enumerate(prompts):
+                echo_len[i] = len(
+                    text if text is not None else tokenizer.decode(ids))
 
         # All prompts' streams merge into one queue; chunks interleave
         # as tokens arrive, each tagged with its global choice index.
@@ -276,7 +285,8 @@ async def create_completion(request: web.Request) -> web.StreamResponse:
                         taken = previous_num_tokens[i][j]
                         logprobs = _create_logprobs(
                             tokenizer, output.token_ids[taken:],
-                            output.logprobs[taken:], len(prev_text))
+                            output.logprobs[taken:],
+                            echo_len[i] + len(prev_text))
                     previous_texts[i][j] = output.text
                     previous_num_tokens[i][j] = len(output.token_ids)
                     await response.write(

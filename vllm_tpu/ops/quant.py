@@ -228,8 +228,8 @@ def _quant_leaf_sharding(spec, int4: bool = False):
     """Mirror _quant_leaf on a PartitionSpec leaf: the quantized
     payload keeps the weight's spec; int8 per-column scales shard like
     the output dim (column-parallel -> sharded scales, row-parallel ->
-    replicated); int4 [2, NG, out] group scales likewise shard only on
-    their output axis. Layer-stacked specs ([None, in, out]) keep the
+    replicated); int4 [NG, 2, out] group scales (group axis leading —
+    see Int4Linear) likewise shard only on their output axis. Layer-stacked specs ([None, in, out]) keep the
     leading layer axis on the scales too."""
     def one(w_spec):
         lead = tuple(w_spec)[:-2]  # () or (None,) for stacked layers

@@ -91,12 +91,23 @@ def is_driver() -> bool:
     return jax.process_index() == 0
 
 
+# One channel per engine build per process (the worker constructs it;
+# follower_loop reuses the worker's). Coordination-service keys are
+# WRITE-ONCE (key_value_set_bytes raises ALREADY_EXISTS on reuse), so
+# each channel namespaces its keys by a per-process epoch counter:
+# every process builds engines in the same order (same script), so
+# epoch e on the driver pairs with epoch e on every follower, a second
+# engine in the same cluster session starts at a fresh prefix instead
+# of colliding with (or replaying) the first engine's keys, and no
+# cleanup-on-shutdown protocol is needed.
+_CHANNEL_EPOCH = [0]
+
+
 class PlanChannel:
     """Ships one step's host-built plan arrays from the driver process
     to all follower processes through the coordination-service KV
     store — one message per step, host-side only (see module doc)."""
 
-    _PREFIX = "vllm_tpu/plan/"
     # Keys kept behind the newest; followers trail by at most the
     # driver's dispatch-ahead depth (~2 steps), so this is a safety
     # margin, not a tuning knob. 256 × ~10 KB compressed plans ≈ a few
@@ -112,6 +123,8 @@ class PlanChannel:
                 "PlanChannel needs jax.distributed.initialize (the "
                 "coordination-service client is missing).")
         self._client = client
+        self._prefix = f"vllm_tpu/plan/e{_CHANNEL_EPOCH[0]}/"
+        _CHANNEL_EPOCH[0] += 1
         self._seq = 0
         # Driver-side instrumentation (scaling-efficiency evidence):
         # cumulative serialize+publish time and raw/wire bytes.
@@ -130,11 +143,11 @@ class PlanChannel:
         # wire message well under the KV store's fast-path size (~3 ms
         # at 256 KB measured, a cliff past ~1 MB).
         payload = zlib.compress(raw, 1)
-        self._client.key_value_set_bytes(self._PREFIX + str(self._seq),
+        self._client.key_value_set_bytes(self._prefix + str(self._seq),
                                          payload)
         if self._seq >= self._RETAIN:
             self._client.key_value_delete(
-                self._PREFIX + str(self._seq - self._RETAIN))
+                self._prefix + str(self._seq - self._RETAIN))
         self._seq += 1
         self.sends += 1
         self.send_s += time.perf_counter() - t0
@@ -144,7 +157,7 @@ class PlanChannel:
     # -- follower side -------------------------------------------------------
 
     def recv(self) -> Tuple[int, List[np.ndarray]]:
-        key = self._PREFIX + str(self._seq)
+        key = self._prefix + str(self._seq)
         while True:
             try:
                 payload = self._client.blocking_key_value_get_bytes(
@@ -223,7 +236,9 @@ def follower_loop(engine_args, tokenizer=None) -> None:
 
     engine = LLMEngine.from_engine_args(engine_args, tokenizer=tokenizer)
     worker = engine.worker
-    channel = PlanChannel()
+    # Reuse the worker's channel (same epoch as the driver's worker
+    # built in this engine-build round — see _CHANNEL_EPOCH).
+    channel = worker._plan_channel or PlanChannel()
     logger.info("Follower ready; waiting for step plans.")
     while True:
         kind, arrays = channel.recv()

@@ -35,16 +35,21 @@ logger = init_logger(__name__)
 def resolve_cache_dir() -> Optional[str]:
     """Cache directory, or None when AOT caching is disabled.
 
-    `VLLM_TPU_AOT_CACHE` overrides (a path, or ``0``/``off`` to
-    disable). By default the cache is on for real TPU backends and OFF
-    for CPU runs: CPU AOT executables embed host-machine features and
-    reloading them on a different machine can SIGILL (tests opt in with
-    an explicit tmp dir).
+    `VLLM_TPU_AOT_CACHE` overrides: ``0``/``off`` disables,
+    ``1``/``on``/``true`` force-enables at the default directory (even
+    on CPU — the caller accepts the cross-machine SIGILL risk), and
+    anything else is the cache directory path. By default the cache is
+    on for real TPU backends and OFF for CPU runs: CPU AOT executables
+    embed host-machine features and reloading them on a different
+    machine can SIGILL (tests opt in with an explicit tmp dir).
     """
     env = os.environ.get("VLLM_TPU_AOT_CACHE")
     if env is not None:
-        if env.strip().lower() in ("", "0", "off", "none"):
+        flag = env.strip().lower()
+        if flag in ("", "0", "off", "none", "false"):
             return None
+        if flag in ("1", "on", "true"):
+            return os.path.expanduser("~/.cache/vllm_tpu/aot")
         return os.path.expanduser(env)
     import jax
     if jax.devices()[0].platform == "cpu":
