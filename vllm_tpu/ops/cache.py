@@ -81,7 +81,7 @@ def probe_int4_kv_kernels() -> bool:
         L, NB, KVH, BS, D, B = 1, 8, 2, 16, 128, 4
         cache = KVCache(
             jnp.zeros((L, NB, 1, KVH, BS, D), jnp.int8),
-            jnp.zeros((L, NB, 2, BS, 1, SCALE_LANES), SCALE_DTYPE))
+            jnp.zeros((L, NB, 2, 1, BS, SCALE_LANES), SCALE_DTYPE))
         rng = np.random.default_rng(0)
         k = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
@@ -172,14 +172,18 @@ class KVCache(NamedTuple):
         sharding spec, swap slice and copy below stays axis-compatible
         with the int8 layout. Detection is by that axis
         (``kv_planes``), never by dtype — both store int8.
-    scales: [L, NB, 2, BS, TPG, SCALE_LANES] per-vector dequant scales
+    scales: [L, NB, 2, TPG, BS, SCALE_LANES] per-vector dequant scales
         (SCALE_DTYPE = bf16), or None; the K/V axis stays 2 even for
         int4 (K and V scale independently). TPG = tensor-parallel group
         count; group g holds the scales for kv heads
         [g*KVH/TPG, (g+1)*KVH/TPG) in its first KVH/TPG lanes of a
         full 128-lane tile (see kv_scales_shape for why every group
-        stays lane-tile-sized). TPG == 1 (single chip) is one plain
-        128-lane axis.
+        stays lane-tile-sized). TPG sits OUTSIDE the trailing
+        [BS, SCALE_LANES] pair so the tiled (sublane, lane) dims are
+        always (block_size, 128) — a TPG-sized (usually 1) sublane
+        axis under bf16's (2, 128) tiling is un-sliceable in Mosaic
+        ("Slice shape along dimension 4 must be aligned to tiling
+        (2)", measured on v5e).
     """
     data: jnp.ndarray
     scales: Optional[jnp.ndarray]
@@ -248,7 +252,7 @@ def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
                        qmax=_INT4_MAX if int4 else _INT8_MAX)
     if int4:  # [T, 2, KVH, D] codes -> [T, 1, KVH, D] packed bytes
         q = pack_kv_int4(q[:, 0], q[:, 1])[:, None]
-    tpg, lpg = scales.shape[-2:]
+    tpg, lpg = scales.shape[-3], scales.shape[-1]
     kvh = s.shape[-1]
     s = s.reshape(s.shape[0], 2, tpg, kvh // tpg)
     s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, lpg - kvh // tpg)))
@@ -344,10 +348,10 @@ def _xla_write_kv(
             sidx = (layer, block_ids[i], 0, 0, 0, 0)
             spage = jax.lax.dynamic_slice(scales, sidx,
                                           (1, 1) + scales.shape[2:])
-            tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 3)
+            tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 4)
             keep = jnp.logical_or(pad[i], tok != offsets[i])
             spage = jnp.where(keep, spage,
-                              kv_scales[i][None, None, :, None, :, :])
+                              kv_scales[i][None, None, :, :, None, :])
             scales = jax.lax.dynamic_update_slice(scales, spage, sidx)
         return data, scales
 
@@ -389,9 +393,9 @@ def write_kv_pages(
     kv = jnp.pad(kv, ((0, block_size),) + ((0, 0),) * 3)
     kv_t = kv.transpose(1, 2, 0, 3)
     if kv_scales is not None:
-        # [T, 2, TPG, LPG] -> zero-slack pad -> page order [2, T+BS, TPG, LPG]
+        # [T, 2, TPG, LPG] -> zero-slack pad -> page order [2, TPG, T+BS, LPG]
         kv_scales = jnp.pad(kv_scales, ((0, block_size),) + ((0, 0),) * 3)
-        scales_t = kv_scales.transpose(1, 0, 2, 3)
+        scales_t = kv_scales.transpose(1, 2, 0, 3)
 
     def body(i, carry):
         data, scales = carry
@@ -405,7 +409,7 @@ def write_kv_pages(
         data = jax.lax.dynamic_update_slice(data, upd, idx)
         if scales is not None:
             spage = jax.lax.dynamic_slice_in_dim(scales_t, src, block_size,
-                                                 1)
+                                                 2)
             sidx = (layer, blk, 0, 0, 0, 0)
             cur = jax.lax.dynamic_slice(scales, sidx,
                                         (1, 1) + scales.shape[2:])
@@ -439,7 +443,7 @@ def copy_blocks(
 
 def gather_blocks(kv_cache: KVCache, block_ids: jnp.ndarray) -> KVCache:
     """Pull blocks out for swap-out: payload [L, P, 2, KVH, BS, D]
-    (+scales [L, P, 2, BS, SCALE_LANES])."""
+    (+scales [L, P, 2, TPG, BS, SCALE_LANES])."""
     data, scales = kv_cache
     return KVCache(data[:, block_ids],
                    None if scales is None else scales[:, block_ids])
@@ -462,7 +466,7 @@ def scatter_blocks(
 def dequantize_pages(data: jnp.ndarray,
                      scales: Optional[jnp.ndarray]) -> jnp.ndarray:
     """[..., C, KVH, BS, D] pages (C=2 bf16/f32/int8, C=1 packed int4)
-    + [..., 2, BS, TPG, LPG] scales -> f32 with C=2 (testing / XLA
+    + [..., 2, TPG, BS, LPG] scales -> f32 with C=2 (testing / XLA
     fallback path; the Pallas kernels fuse this into attention)."""
     if data.shape[-4] == 1:  # int4: unpack K/V nibbles back to 2 planes
         kc, vc = unpack_kv_int4(data[..., 0, :, :, :])
@@ -471,12 +475,12 @@ def dequantize_pages(data: jnp.ndarray,
     if scales is None:
         return x
     kvh = data.shape[-3]
-    tpg = scales.shape[-2]
+    tpg = scales.shape[-3]
     kvh_g = kvh // tpg
-    # [..., 2, BS, TPG, LPG] -> take each group's first KVH/TPG lanes
+    # [..., 2, TPG, BS, LPG] -> take each group's first KVH/TPG lanes
     # -> [..., 2, TPG, KVH/TPG, BS] -> [..., 2, KVH, BS]
     s = scales.astype(jnp.float32)[..., :kvh_g]
-    s = jnp.moveaxis(s, -3, -1)  # [..., 2, TPG, LPGslice, BS]
+    s = jnp.swapaxes(s, -1, -2)  # [..., 2, TPG, LPGslice, BS]
     s = s.reshape(s.shape[:-3] + (kvh, s.shape[-1]))
     return x * s[..., None]
 
@@ -501,20 +505,29 @@ def kv_scales_shape(
     block_size: int,
     tp: int = 1,
 ) -> Tuple[int, int, int, int, int, int]:
-    """Trailing [TPG, SCALE_LANES] pair: TPG shards with the payload's
-    head axis; each group's first KVH/TPG lanes are live.
+    """TPG axis OUTSIDE the trailing [block_size, SCALE_LANES] pair:
+    TPG shards with the payload's head axis; each group's first
+    KVH/TPG lanes are live.
 
     Every group is a FULL 128-lane tile even under tensor parallelism:
     Mosaic requires whole-page HBM DMAs to end on a 128-lane-aligned
     axis (measured: a 32-lane scale-page copy fails to compile —
     "Slice shape along dimension 5 must be aligned to tiling (128)"),
-    and each shard's local scale view is its single [.., 1, lanes]
+    and each shard's local scale view is its single [.., 1, BS, lanes]
     group. A packed [TPG, 128/TPG] layout (TP-invariant total HBM)
     would hand tp=8 shards 16-lane pages — exactly the un-compilable
     pattern. Cost: per-shard scale HBM under TP matches the single-chip
     layout instead of shrinking with 1/tp; single-chip (the
-    capacity-bound case) is unchanged."""
+    capacity-bound case) is unchanged.
+
+    TPG must not sit between block_size and the lanes: that makes it
+    the tiled SUBLANE dim, and a size-1 sublane axis under bf16's
+    (2, 128) tiling cannot be memref-sliced ("Slice shape along
+    dimension 4 must be aligned to tiling (2)", measured on v5e —
+    the tiling packs sublane PAIRS for 16-bit types). With TPG at
+    axis 3 the tiled pair is always (block_size, 128): aligned for
+    every dtype."""
     assert num_kv_heads // tp <= SCALE_LANES, (
         f"kv heads per shard ({num_kv_heads}/{tp}) exceed scale lanes "
         f"per group ({SCALE_LANES})")
-    return (num_layers, num_blocks, 2, block_size, tp, SCALE_LANES)
+    return (num_layers, num_blocks, 2, tp, block_size, SCALE_LANES)
