@@ -51,7 +51,7 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
         scales = np.abs(kv_data).max(-1) / 127.0 + 1e-10  # [L,NB,2,KVH,BS]
         kv_int = np.clip(np.round(kv_data / scales[..., None]), -127, 127)
         scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-        scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
+        scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
         kv_cache = KVCache(jnp.asarray(kv_int, jnp.int8),
                            jnp.asarray(scales_page))
         # The reference below must see exactly what the kernel sees.
@@ -131,7 +131,7 @@ def test_paged_decode_attention_int4(H, KVH, impl):
     packed = ((codes[:, :, 0] & 0xF) |
               (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
+    scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
     kv_cache = KVCache(jnp.asarray(packed), jnp.asarray(scales_page))
     # The reference must see exactly what the kernel dequantizes to.
     kv_data = codes * scales[..., None]

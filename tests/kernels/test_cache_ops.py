@@ -23,8 +23,8 @@ def make_cache(seed=0, quantized=False, scale_dtype=np.float32) -> KVCache:
     scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, NB, 2, KVH, BS]
     q = np.clip(np.round(data / scales[..., None]), -127, 127)
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    # scale page layout: [.., 2, BS, LANES] with heads in lanes
-    scales_page[..., 0, :KVH] = np.swapaxes(scales, -1, -2)
+    # scale page layout: [.., 2, TPG, BS, LANES] with heads in lanes
+    scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
     return KVCache(jnp.asarray(q, jnp.int8),
                    jnp.asarray(scales_page).astype(scale_dtype))
 
@@ -179,7 +179,7 @@ def make_cache_int4(seed=0) -> KVCache:
     packed = ((codes[:, :, 0] & 0xF) |
               (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
     scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., 0, :KVH] = np.swapaxes(
+    scales_page[..., 0, :, :KVH] = np.swapaxes(
         rng.uniform(0.05, 0.5, (L, NB, 2, KVH, BS)).astype(np.float32),
         -1, -2)
     return KVCache(jnp.asarray(packed),
@@ -241,6 +241,45 @@ def test_pallas_write_kv_tokens_matches_xla_int4():
     np.testing.assert_array_equal(np.asarray(got.data), np.asarray(ref.data))
     np.testing.assert_allclose(np.asarray(got.scales),
                                np.asarray(ref.scales), rtol=1e-6)
+
+
+def test_int4_probe_passes_in_interpret_mode(monkeypatch):
+    """The startup probe must PASS on the interpret-mode kernels: a
+    stale-layout regression in the int4 kv-write/decode kernels then
+    fails CI here instead of silently downgrading int4-KV to the XLA
+    path on device (which is how round 3's broken migration hid)."""
+    from vllm_tpu.ops import cache as cache_mod
+    monkeypatch.setenv("VLLM_TPU_FORCE_PALLAS_OPS", "1")
+    monkeypatch.setattr(cache_mod, "_INT4_KV_BROKEN", [False])
+    assert cache_mod.probe_int4_kv_kernels() is True
+    assert cache_mod.int4_kv_pallas_ok()
+
+
+def test_int4_probe_reraises_python_bugs(monkeypatch):
+    """Python-side exceptions (stale asserts, wrapper shape bugs) must
+    propagate out of the probe — only Mosaic/XLA backend failures may
+    downgrade int4-KV to the XLA fallback."""
+    from vllm_tpu.ops import cache as cache_mod
+    monkeypatch.setenv("VLLM_TPU_FORCE_PALLAS_OPS", "1")
+    monkeypatch.setattr(cache_mod, "_INT4_KV_BROKEN", [False])
+
+    def stale_assert(*args, **kwargs):
+        raise AssertionError("stale layout assert")
+
+    monkeypatch.setattr(
+        "vllm_tpu.ops.pallas.kv_write.pallas_write_kv_tokens", stale_assert)
+    with pytest.raises(AssertionError, match="stale layout"):
+        cache_mod.probe_int4_kv_kernels()
+    # A genuine backend lowering error still downgrades gracefully.
+    import jax
+
+    def mosaic_fail(*args, **kwargs):
+        raise jax.errors.JaxRuntimeError("mosaic lowering failed")
+
+    monkeypatch.setattr(
+        "vllm_tpu.ops.pallas.kv_write.pallas_write_kv_tokens", mosaic_fail)
+    assert cache_mod.probe_int4_kv_kernels() is False
+    assert not cache_mod.int4_kv_pallas_ok()
 
 
 def test_copy_and_swap_int4():

@@ -58,6 +58,18 @@ def int4_kv_pallas_ok() -> bool:
     return not _INT4_KV_BROKEN[0]
 
 
+def _is_lowering_error(exc: Exception) -> bool:
+    """True for Mosaic/XLA compile- or run-time failures (the errors
+    the int4 probe may legitimately downgrade on); False for Python-
+    side bugs (stale asserts, shape errors in wrapper code), which must
+    propagate — swallowing those once hid a broken layout migration
+    behind a single warning line."""
+    if isinstance(exc, NotImplementedError):
+        return True  # missing Mosaic lowering rule
+    mod = type(exc).__module__ or ""
+    return mod.startswith("jax") or mod.startswith("jaxlib")
+
+
 def probe_int4_kv_kernels() -> bool:
     """Compile-and-run the kv-write + paged-decode kernels once on a
     tiny nibble-packed cache, standalone.
@@ -65,50 +77,63 @@ def probe_int4_kv_kernels() -> bool:
     The int4-KV kernel variants are the newest Mosaic code paths; a
     lowering failure inside the fused step program would abort startup.
     One isolated tiny compile turns that into a logged XLA fallback
-    (the bandwidth win is lost, correctness is not). Returns True if
-    the Pallas int4-KV path is live."""
+    (the bandwidth win is lost, correctness is not). Only backend
+    failures (Mosaic/XLA lowering or runtime errors) and numerics
+    mismatches downgrade; Python-side exceptions re-raise — those are
+    code bugs, not hardware limitations. Returns True if the Pallas
+    int4-KV path is live."""
     if not _use_pallas():
         return False
     import numpy as np
 
     from vllm_tpu.logger import init_logger
     logger = init_logger(__name__)
+
+    def fallback(why: str) -> bool:
+        logger.warning(
+            "int4 KV Pallas kernels failed their startup probe (%s); "
+            "falling back to the XLA paged-KV paths for this process.",
+            why)
+        _INT4_KV_BROKEN[0] = True
+        return False
+
+    from vllm_tpu.ops.attention import _xla_paged_decode_attention
+    from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+    from vllm_tpu.ops.pallas.paged_attention import (
+        pallas_paged_decode_attention)
+    L, NB, KVH, BS, D, B = 1, 8, 2, 16, 128, 4
+    cache = KVCache(
+        jnp.zeros((L, NB, 1, KVH, BS, D), jnp.int8),
+        jnp.zeros((L, NB, 2, 1, BS, SCALE_LANES), SCALE_DTYPE))
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+    slots = jnp.asarray([0, BS, 2 * BS, 3 * BS], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
+    tables = jnp.arange(B * 2, dtype=jnp.int32).reshape(B, 2)
+    ctx = jnp.ones((B,), jnp.int32)
     try:
-        from vllm_tpu.ops.attention import _xla_paged_decode_attention
-        from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
-        from vllm_tpu.ops.pallas.paged_attention import (
-            pallas_paged_decode_attention)
-        L, NB, KVH, BS, D, B = 1, 8, 2, 16, 128, 4
-        cache = KVCache(
-            jnp.zeros((L, NB, 1, KVH, BS, D), jnp.int8),
-            jnp.zeros((L, NB, 2, 1, BS, SCALE_LANES), SCALE_DTYPE))
-        rng = np.random.default_rng(0)
-        k = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
-        slots = jnp.asarray([0, BS, 2 * BS, 3 * BS], jnp.int32)
         written = pallas_write_kv_tokens(cache, 0, k, v, slots)
-        q = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
-        tables = jnp.arange(B * 2, dtype=jnp.int32).reshape(B, 2)
-        ctx = jnp.ones((B,), jnp.int32)
         got = np.asarray(
             pallas_paged_decode_attention(q, written, 0, tables, ctx, 1.0),
             np.float32)
-        # Reference: the same tokens through the XLA write + attention
-        # fallbacks (identical quantization; only the accumulation
-        # order differs).
-        ref_c = _xla_write_kv(cache, 0, k, v, slots)
-        want = np.asarray(
-            _xla_paged_decode_attention(q, ref_c, 0, tables, ctx, 1.0),
-            np.float32)
+    except Exception as exc:
+        if _is_lowering_error(exc):
+            return fallback(f"{type(exc).__name__}: {exc}")
+        raise
+    # Reference: the same tokens through the XLA write + attention
+    # fallbacks (identical quantization; only the accumulation
+    # order differs). A mismatch here means the backend miscompiled
+    # the kernels — downgrade with a distinct message.
+    ref_c = _xla_write_kv(cache, 0, k, v, slots)
+    want = np.asarray(
+        _xla_paged_decode_attention(q, ref_c, 0, tables, ctx, 1.0),
+        np.float32)
+    try:
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
-        return True
-    except Exception as exc:  # Mosaic compile / numerics mismatch
-        logger.warning(
-            "int4 KV Pallas kernels failed their startup probe (%s: %s); "
-            "falling back to the XLA paged-KV paths for this process.",
-            type(exc).__name__, exc)
-        _INT4_KV_BROKEN[0] = True
-        return False
+    except AssertionError as exc:
+        return fallback(f"numerics mismatch vs XLA reference: {exc}")
+    return True
 
 
 # Out-of-bounds sentinel for padded index slots (writes become no-ops).

@@ -212,20 +212,24 @@ def _decode_kernel(
             k = kb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             v = vb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             if quantized:
-                sb = s_buf[slot][...]  # [P, 2, BS, 1, LPG]
-                sck = jax.lax.index_in_dim(sb, 0, axis=1, keepdims=False)
-                scv = jax.lax.index_in_dim(sb, 1, axis=1, keepdims=False)
-                # [P, BS, 1, LPG] -> [CHUNK, KVH] -> [KVH, CHUNK]
-                # (small-array transposes; the payload stays put). The
-                # unit axis is this shard's slot in the tp-grouped
-                # scale layout (local kv heads sit in the first kvh
-                # lanes of the group).
-                sck = jax.lax.slice_in_dim(
-                    sck.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
-                    axis=1).swapaxes(0, 1).astype(jnp.float32)
-                scv = jax.lax.slice_in_dim(
-                    scv.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
-                    axis=1).swapaxes(0, 1).astype(jnp.float32)
+                sb = s_buf[slot][...]  # [P, 2, TPG(=1), BS, LPG]
+
+                def chunk_scales(which):
+                    # Pick K or V, then THIS shard's (only) tp group:
+                    # [P, 2, TPG, BS, LPG] -> [P, BS, LPG] -> flatten
+                    # pages into tokens -> keep the local kv heads'
+                    # lanes -> [KVH, CHUNK] (small-array transposes;
+                    # the payload stays put).
+                    s = jax.lax.index_in_dim(sb, which, axis=1,
+                                             keepdims=False)
+                    s = jax.lax.index_in_dim(s, 0, axis=1, keepdims=False)
+                    s = jax.lax.slice_in_dim(
+                        s.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
+                        axis=1)
+                    return s.swapaxes(0, 1).astype(jnp.float32)
+
+                sck = chunk_scales(0)
+                scv = chunk_scales(1)
             s = jax.lax.dot_general(
                 qm, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
@@ -262,7 +266,7 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("scale",))
 def pallas_paged_decode_attention(
     q: jnp.ndarray,  # [B, H, D]
-    kv_cache: KVCache,  # payload [L, 2, NB, KVH, BS, D] (+scales)
+    kv_cache: KVCache,  # payload [L, NB, 2, KVH, BS, D] (+scales)
     layer,  # i32 scalar (may be traced — scanned over layers)
     block_tables: jnp.ndarray,  # [B, MB] i32
     context_lens: jnp.ndarray,  # [B] i32
@@ -288,12 +292,13 @@ def pallas_paged_decode_attention(
     ]
     operands = [q_grouped, data]
     if quantized:
-        # The kernel sees ONE tp group of the scale layout: its local
-        # kv heads in the first KVH lanes. Under tensor parallelism
+        # Scales are [L, NB, 2, TPG, BS, LPG]; the kernel sees ONE tp
+        # group of that layout (TPG axis local size 1): its local kv
+        # heads in the first KVH lanes. Under tensor parallelism
         # shard_map hands each shard its own group (ops/attention.py);
         # a multi-group global array here means the caller forgot the
         # shard_map wrapper.
-        assert scales.shape[-2] == 1, (
+        assert scales.shape[-3] == 1, (
             f"decode kernel needs a single-tp-group scale view, got "
             f"{scales.shape} — wrap the call in shard_map for tp>1")
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))

@@ -23,15 +23,16 @@ from vllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 # KV cache payload [L, NB, 2, KVH, BS, D]: shard kv-heads over the
-# model axis. The int8 dequant scales [L, NB, 2, BS, TPG, LANES/TPG]
-# carry an explicit tp-group axis that shards WITH the payload's
-# heads: group g holds the scales for shard g's kv heads in its first
-# KVH/tp lanes, so each shard's local scale page is still one
-# lane-aligned DMA and nothing replicates (replicated scales would
-# cost as much HBM per shard as the whole sharded int8 payload at
-# tp=8).
+# model axis. The int8/int4 dequant scales [L, NB, 2, TPG, BS, LANES]
+# carry an explicit tp-group axis (axis 3, OUTSIDE the trailing tiled
+# [BS, LANES] pair — see ops/cache.py kv_scales_shape) that shards
+# WITH the payload's heads: group g holds the scales for shard g's kv
+# heads in its first KVH/tp lanes, so each shard's local scale page is
+# still one lane-aligned DMA and nothing replicates (replicated scales
+# would cost as much HBM per shard as the whole sharded int8 payload
+# at tp=8).
 KV_CACHE_SPEC = P(None, None, None, "model", None, None)
-KV_SCALES_SPEC = P(None, None, None, None, "model", None)
+KV_SCALES_SPEC = P(None, None, None, "model", None, None)
 
 
 # Trace-time mesh context: the executor wraps each step function's
