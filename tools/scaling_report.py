@@ -206,9 +206,9 @@ def main():
     print(f"| wall per engine step | {ms1:.1f} ms | {ms2:.1f} ms |")
     print(f"| plan-channel sends | — | {chan.get('sends')} |")
     print(f"| plan-channel send avg | — | {send_ms:.2f} ms |")
-    print(f"| plan bytes (raw -> wire) | — | "
-          f"{chan.get('bytes_raw_avg', 0):.0f} -> "
-          f"{chan.get('bytes_wire_avg', 0):.0f} |")
+    print(f"| plan KiB/step (raw -> wire) | — | "
+          f"{chan.get('raw_kb_avg', 0):.1f} -> "
+          f"{chan.get('wire_kb_avg', 0):.1f} |")
     print()
     print(f"7B decode chunk (device, measured on TPU v5e): "
           f"{DECODE_CHUNK_MS_7B:.0f} ms")

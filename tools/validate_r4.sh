@@ -61,13 +61,21 @@ fi
 stage sanity 300 python -c "import jax; print(jax.devices())"
 grep -q "Tpu\|TPU\|axon" "$LOGDIR/sanity.log" || { echo "NO TPU"; exit 1; }
 
-stage int4probe 600 python -c "
+# Mosaic compile of the int4 kernels is SLOW through the axon tunnel
+# (measured 2026-08-19: 245 s for the tiny-probe int4 matmul vs 12 s
+# for the same op via XLA) — give the probes compile headroom, and
+# seed the persistent caches so engine-startup probes hit them.
+stage int4probe 2400 python -c "
+from bench import enable_persistent_compile_cache
+enable_persistent_compile_cache()
 from vllm_tpu.ops.pallas.int4_matmul import probe_int4_kernel
 assert probe_int4_kernel(), 'int4 kernel failed on hardware'
 print('int4 Pallas kernel OK on', __import__('jax').default_backend())
 "
 
-stage int4kvprobe 600 python -c "
+stage int4kvprobe 2400 python -c "
+from bench import enable_persistent_compile_cache
+enable_persistent_compile_cache()
 from vllm_tpu.ops.cache import probe_int4_kv_kernels
 assert probe_int4_kv_kernels(), 'int4-KV kernels failed on hardware'
 print('int4-KV Pallas kernels OK on', __import__('jax').default_backend())
