@@ -162,7 +162,12 @@ def main():
     # the measured rate (128 -> 1653, 256 -> 1753, 512 -> 1830,
     # 1000 -> 1863 tok/s; same engine, same seed family).
     parser.add_argument("--num-requests", type=int, default=1000)
-    parser.add_argument("--max-num-seqs", type=int, default=64)
+    # 128 concurrent sequences + INT4 KV: the round-4 measured knee.
+    # INT4 KV doubles blocks-per-chip (1795 -> 3600+); at 128 seqs the
+    # ShareGPT envelope just fits (3378 blocks needed ~3300), and
+    # throughput peaked there (b64 1832 / b96 1996 / b128 2076 / b160
+    # 1751 tok/s — 160 exceeds capacity and thrashes preemption).
+    parser.add_argument("--max-num-seqs", type=int, default=128)
     parser.add_argument("--max-num-batched-tokens", type=int, default=1024)
     parser.add_argument("--kv-cache-dtype", type=str, default="auto")
     # int8-w8a8: weight-only INT8 everywhere + per-token activation
@@ -185,8 +190,15 @@ def main():
     from vllm_tpu.worker.worker import SUPPORTED_KV_DTYPES
     kv_dtype = args.kv_cache_dtype
     if kv_dtype == "auto":
-        kv_dtype = ("int8"
-                    if "int8" in SUPPORTED_KV_DTYPES else "bfloat16")
+        # INT4 KV is the measured throughput winner (capacity: decode
+        # admission rises from ~57 to ~102 concurrent rows); int8 is
+        # the fallback ladder for builds without nibble-packed caches.
+        for cand in ("int4", "int8"):
+            if cand in SUPPORTED_KV_DTYPES:
+                kv_dtype = cand
+                break
+        else:
+            kv_dtype = "bfloat16"
     quant = None if args.quantization in ("none", "") else args.quantization
     t_start = time.perf_counter()
     llm = build_llm(kv_dtype, args.max_num_seqs,

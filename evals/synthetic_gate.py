@@ -53,10 +53,15 @@ def main():
                         "cannot)")
     args = parser.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
         os.environ.setdefault("VLLM_TPU_INTERPRET", "1")
+    # Initialize the backend BEFORE make_checkpoint imports torch:
+    # loading torch's shared libraries first breaks the axon TPU
+    # plugin's registration ("Backend 'axon' is not in the list of
+    # known backends", observed 2026-08-19) — torch-after-jax is fine.
+    jax.devices()
 
     from evals.perplexity import run_config
     path = make_checkpoint(args.layers)

@@ -134,11 +134,33 @@ def _int4_kernel(
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _pick_bo(out: int) -> int:
-    for bo in (512, 256, 128):
-        if out % bo == 0:
-            return bo
-    return out
+def _pick_bo(t: int, in2: int, out: int, group: int) -> int:
+    """Largest output tile that divides ``out``, keeps lane tiling
+    (%128 == 0), and fits the kernel's VMEM working set: resident
+    activations + double-buffered packed strips + output block, f32
+    accumulator and one group's int32 partial (all [T, BO]) + the
+    per-group unpack temps.
+
+    Wide tiles beat strip double-buffering here: the old fixed ladder
+    (512/256/128) gave the 7B MLP (out=11008, whose only %128 divisors
+    are 128/256/5504/11008) BO=256 — 43 grid steps x 2*NG loop-carried
+    [T,128]x[128,256] dots, measured +711 us vs the int8 path per
+    decode matmul. BO=5504 runs the same matmul as 2 grid steps of
+    wide dots and restores the kernel to its DMA budget. At prefill
+    row counts the [T, BO] terms dominate and the pick shrinks
+    itself back under the ceiling."""
+    budget = 88 * 1024 * 1024  # headroom under the 100 MB Mosaic limit
+    best = 128
+    for bo in range(128, out + 1, 128):
+        if out % bo:
+            continue
+        working = (t * 2 * in2            # resident int8 activations
+                   + 2 * in2 * bo         # double-buffered packed strip
+                   + 3 * t * bo * 4       # o_ref + f32 acc + int32 z
+                   + group * bo * 12)     # unpack temps (int32 + 2 nibbles)
+        if working <= budget and bo > best:
+            best = bo
+    return best
 
 
 @jax.jit
@@ -152,7 +174,7 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         # the numerically-identical XLA formulation.
         return int4_matmul_xla(x, ql)
     xq, xs = quantize_activations_int8(x)
-    bo = _pick_bo(out)
+    bo = _pick_bo(x.shape[0], in2, out, group)
     kernel = pl.pallas_call(
         functools.partial(_int4_kernel, group=group, num_groups=ng),
         grid=(out // bo,),

@@ -44,9 +44,10 @@ from vllm_tpu.ops.cache import KVCache, unpack_kv_int4
 
 _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
+_PAGES_PER_CHUNK_INT4 = 8  # nibble-packed pages are half the bytes
 
 
-def _pages_per_chunk() -> int:
+def _pages_per_chunk(packed: bool = False) -> int:
     """Pipeline chunk size in pages, env-tunable for on-hardware
     sweeps (VLLM_TPU_PAGES_PER_CHUNK). The tradeoff is real on both
     sides: a sequence's final chunk fetches and masks ~chunk/2 wasted
@@ -54,13 +55,14 @@ def _pages_per_chunk() -> int:
     lengths), while smaller chunks issue more DMAs per sequence and
     the kernel is issue-rate-sensitive. 16 pages (256 tokens at
     block_size 16) measured best in round 1 on int8 pages; int4
-    halves the per-page bytes, which may move the optimum.
+    halves the per-page bytes and the measured optimum moved to 8
+    (b128 int4-KV bench: ppc8 2186 / ppc16 2076 / ppc32 1903 tok/s).
 
     Read at TRACE time: set the var before the engine builds — a
     mid-process change cannot affect already-compiled programs."""
     raw = os.environ.get("VLLM_TPU_PAGES_PER_CHUNK")
     if raw is None:
-        return _PAGES_PER_CHUNK
+        return _PAGES_PER_CHUNK_INT4 if packed else _PAGES_PER_CHUNK
     try:
         pages = int(raw)
     except ValueError:
@@ -280,7 +282,7 @@ def pallas_paged_decode_attention(
     packed = C == 1  # int4: K/V nibble-packed into one plane
 
     q_grouped = q.reshape(B, KVH, G, D)
-    pages = min(_pages_per_chunk(), block_tables.shape[1])
+    pages = min(_pages_per_chunk(packed), block_tables.shape[1])
 
     in_specs = [
         pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
