@@ -63,6 +63,12 @@ def main():
     # known backends", observed 2026-08-19) — torch-after-jax is fine.
     jax.devices()
 
+    # Repo root on sys.path at RUNTIME, not via PYTHONPATH: an env
+    # PYTHONPATH=. also breaks the axon plugin discovery (same
+    # unknown-backend failure, reproduced with a bare `import jax`).
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from evals.perplexity import run_config
     path = make_checkpoint(args.layers)
     rng = random.Random(17)

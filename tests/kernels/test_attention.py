@@ -47,11 +47,10 @@ def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
 
     kv_data = rng.standard_normal((L, NB, 2, KVH, BS, D), dtype=np.float32)
     if quantized:
-        from vllm_tpu.ops.cache import kv_scales_shape
+        from vllm_tpu.ops.cache import pack_scale_pages
         scales = np.abs(kv_data).max(-1) / 127.0 + 1e-10  # [L,NB,2,KVH,BS]
         kv_int = np.clip(np.round(kv_data / scales[..., None]), -127, 127)
-        scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-        scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
+        scales_page = pack_scale_pages(scales)
         kv_cache = KVCache(jnp.asarray(kv_int, jnp.int8),
                            jnp.asarray(scales_page))
         # The reference below must see exactly what the kernel sees.
@@ -123,15 +122,14 @@ def test_paged_decode_attention_int4(H, KVH, impl):
     block_tables = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(
         np.int32)
 
-    from vllm_tpu.ops.cache import kv_scales_shape
+    from vllm_tpu.ops.cache import pack_scale_pages
     kv_data = rng.standard_normal((L, NB, 2, KVH, BS, D), dtype=np.float32)
     scales = np.abs(kv_data).max(-1) / 7.0 + 1e-10  # [L, NB, 2, KVH, BS]
     codes = np.clip(np.round(kv_data / scales[..., None]), -7,
                     7).astype(np.int8)
     packed = ((codes[:, :, 0] & 0xF) |
               (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
-    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
+    scales_page = pack_scale_pages(scales)
     kv_cache = KVCache(jnp.asarray(packed), jnp.asarray(scales_page))
     # The reference must see exactly what the kernel dequantizes to.
     kv_data = codes * scales[..., None]

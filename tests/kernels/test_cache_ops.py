@@ -9,7 +9,8 @@ import pytest
 from vllm_tpu.ops.cache import (PAD_SLOT, KVCache, copy_blocks,
                                 dequantize_pages, gather_blocks,
                                 kv_cache_shape, kv_scales_shape,
-                                scatter_blocks, write_kv)
+                                pack_scale_pages, scatter_blocks,
+                                write_kv)
 
 L, KVH, NB, BS, D = 2, 3, 8, 4, 16
 
@@ -22,11 +23,8 @@ def make_cache(seed=0, quantized=False, scale_dtype=np.float32) -> KVCache:
         return KVCache(jnp.asarray(data), None)
     scales = np.abs(data).max(-1) / 127.0 + 1e-10  # [L, NB, 2, KVH, BS]
     q = np.clip(np.round(data / scales[..., None]), -127, 127)
-    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    # scale page layout: [.., 2, TPG, BS, LANES] with heads in lanes
-    scales_page[..., 0, :, :KVH] = np.swapaxes(scales, -1, -2)
     return KVCache(jnp.asarray(q, jnp.int8),
-                   jnp.asarray(scales_page).astype(scale_dtype))
+                   jnp.asarray(pack_scale_pages(scales)).astype(scale_dtype))
 
 
 def test_write_kv_scatters_and_drops_padding():
@@ -178,10 +176,8 @@ def make_cache_int4(seed=0) -> KVCache:
                          dtype=np.int8)  # [L, NB, 2, KVH, BS, D]
     packed = ((codes[:, :, 0] & 0xF) |
               (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
-    scales_page = np.zeros(kv_scales_shape(L, KVH, NB, BS), np.float32)
-    scales_page[..., 0, :, :KVH] = np.swapaxes(
-        rng.uniform(0.05, 0.5, (L, NB, 2, KVH, BS)).astype(np.float32),
-        -1, -2)
+    scales_page = pack_scale_pages(
+        rng.uniform(0.05, 0.5, (L, NB, 2, KVH, BS)).astype(np.float32))
     return KVCache(jnp.asarray(packed),
                    jnp.asarray(scales_page).astype(SCALE_DTYPE))
 

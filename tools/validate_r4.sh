@@ -81,7 +81,9 @@ assert probe_int4_kv_kernels(), 'int4-KV kernels failed on hardware'
 print('int4-KV Pallas kernels OK on', __import__('jax').default_backend())
 "
 
-stage ppl_gate 3600 env PYTHONPATH=. python -u evals/synthetic_gate.py
+# No PYTHONPATH here: PYTHONPATH=. breaks the axon TPU plugin's
+# registration (unknown-backend failure); the gate self-paths instead.
+stage ppl_gate 3600 env USE_TF=0 python -u evals/synthetic_gate.py
 
 stage bench_int8 5400 python bench.py
 stage bench_warm 3600 python bench.py --quick

@@ -104,7 +104,7 @@ def probe_int4_kv_kernels() -> bool:
     L, NB, KVH, BS, D, B = 1, 8, 2, 16, 128, 4
     cache = KVCache(
         jnp.zeros((L, NB, 1, KVH, BS, D), jnp.int8),
-        jnp.zeros((L, NB, 2, 1, BS, SCALE_LANES), SCALE_DTYPE))
+        jnp.zeros(kv_scales_shape(L, KVH, NB, BS), SCALE_DTYPE))
     rng = np.random.default_rng(0)
     k = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, KVH, D)), jnp.bfloat16)
@@ -174,6 +174,17 @@ _INT4_MAX = 7.0
 # scales shard on the SAME mesh axis.
 SCALE_LANES = 128
 
+# Packed K+V scale tiles: when a shard's kv heads fit in half a lane
+# tile (kvh/tp <= 64 — true for every supported model family at 7B to
+# 65B scale), K and V scales share ONE [BS, 128] tile per page: K in
+# lanes [0, kvh_g), V in lanes [V_SCALE_LANE, V_SCALE_LANE + kvh_g).
+# This halves scale-page HBM (an int4-KV block drops from 11.1% to
+# 5.9% scale overhead -> ~+5.9% blocks per chip) and halves the scale
+# bytes each decode chunk DMAs. Caches with kvh_g > 64 keep the
+# two-plane layout; both are detected by scales.shape[-4] (1 = packed,
+# 2 = separate K/V planes).
+V_SCALE_LANE = SCALE_LANES // 2
+
 # Scales store as bf16: the lane padding above makes scale pages 12.5%
 # of the int8 payload's HBM (most of it dead lanes — packing them is
 # blocked by Mosaic's 128-lane whole-page DMA alignment), so halving
@@ -197,9 +208,13 @@ class KVCache(NamedTuple):
         sharding spec, swap slice and copy below stays axis-compatible
         with the int8 layout. Detection is by that axis
         (``kv_planes``), never by dtype — both store int8.
-    scales: [L, NB, 2, TPG, BS, SCALE_LANES] per-vector dequant scales
-        (SCALE_DTYPE = bf16), or None; the K/V axis stays 2 even for
-        int4 (K and V scale independently). TPG = tensor-parallel group
+    scales: [L, NB, SP, TPG, BS, SCALE_LANES] per-vector dequant
+        scales (SCALE_DTYPE = bf16), or None. SP = scale planes: 1
+        when the shard's kv heads fit half a lane tile (K scales in
+        lanes [0, kvh_g), V at [V_SCALE_LANE, ...) of ONE shared tile
+        — half the scale HBM and DMA bytes), else 2 separate K/V
+        planes. K and V always scale independently; int4 payload
+        packing does not change SP. TPG = tensor-parallel group
         count; group g holds the scales for kv heads
         [g*KVH/TPG, (g+1)*KVH/TPG) in its first KVH/TPG lanes of a
         full 128-lane tile (see kv_scales_shape for why every group
@@ -265,9 +280,11 @@ def unpack_kv_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
     """Stack K/V rows into page-order ([T, C, KVH, D], C = the cache's
     kv_planes) and quantize if the cache is int8/int4. Returns
-    (payload [T, C, KVH, D], scales [T, 2, TPG, LPG] | None) — head
+    (payload [T, C, KVH, D], scales [T, SP, TPG, LPG] | None) — head
     h's scale goes to group h // (KVH/TPG), local lane h % (KVH/TPG),
-    matching the cache's tp-grouped scale layout."""
+    matching the cache's tp-grouped scale layout. SP mirrors the
+    cache's scale-plane count: 2 = separate K/V rows, 1 = K and V
+    packed into one lane tile (V at lane offset V_SCALE_LANE)."""
     data, scales = kv_cache
     kv = jnp.stack([k, v], axis=1)  # [T, 2, KVH, D]
     if scales is None:
@@ -279,8 +296,17 @@ def _combine_quantize(kv_cache: KVCache, k: jnp.ndarray, v: jnp.ndarray):
         q = pack_kv_int4(q[:, 0], q[:, 1])[:, None]
     tpg, lpg = scales.shape[-3], scales.shape[-1]
     kvh = s.shape[-1]
-    s = s.reshape(s.shape[0], 2, tpg, kvh // tpg)
-    s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, lpg - kvh // tpg)))
+    kvh_g = kvh // tpg
+    s = s.reshape(s.shape[0], 2, tpg, kvh_g)
+    if scales.shape[2] == 1:
+        # Packed tile: K scales in lanes [0, kvh_g), V scales at
+        # [V_SCALE_LANE, V_SCALE_LANE + kvh_g) — disjoint zero-padded
+        # halves, so a single add merges them.
+        sk = jnp.pad(s[:, 0], ((0, 0), (0, 0), (0, lpg - kvh_g)))
+        sv = jnp.pad(s[:, 1], ((0, 0), (0, 0),
+                               (V_SCALE_LANE, lpg - V_SCALE_LANE - kvh_g)))
+        return q, (sk + sv)[:, None]
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, lpg - kvh_g)))
     return q, s
 
 
@@ -488,10 +514,27 @@ def scatter_blocks(
     return KVCache(data, scales)
 
 
+def pack_scale_pages(per_head):
+    """Lay [L, NB, 2, KVH, BS] per-head K/V scales out in the cache's
+    scale-page layout (kv_scales_shape, tp=1) — the single place tests
+    and tools encode the packed-vs-two-plane lane layout."""
+    import numpy as np
+    L, NB, _, KVH, BS = per_head.shape
+    page = np.zeros(kv_scales_shape(L, KVH, NB, BS), per_head.dtype)
+    rows = np.swapaxes(per_head, -1, -2)  # [L, NB, 2, BS, KVH]
+    if page.shape[2] == 1:  # packed: K lanes [0:KVH], V at V_SCALE_LANE
+        page[:, :, 0, 0, :, :KVH] = rows[:, :, 0]
+        page[:, :, 0, 0, :, V_SCALE_LANE:V_SCALE_LANE + KVH] = rows[:, :, 1]
+    else:
+        page[..., 0, :, :KVH] = rows
+    return page
+
+
 def dequantize_pages(data: jnp.ndarray,
                      scales: Optional[jnp.ndarray]) -> jnp.ndarray:
     """[..., C, KVH, BS, D] pages (C=2 bf16/f32/int8, C=1 packed int4)
-    + [..., 2, TPG, BS, LPG] scales -> f32 with C=2 (testing / XLA
+    + [..., SP, TPG, BS, LPG] scales (SP=2 separate K/V planes, SP=1
+    K+V packed into one lane tile) -> f32 with C=2 (testing / XLA
     fallback path; the Pallas kernels fuse this into attention)."""
     if data.shape[-4] == 1:  # int4: unpack K/V nibbles back to 2 planes
         kc, vc = unpack_kv_int4(data[..., 0, :, :, :])
@@ -502,9 +545,15 @@ def dequantize_pages(data: jnp.ndarray,
     kvh = data.shape[-3]
     tpg = scales.shape[-3]
     kvh_g = kvh // tpg
-    # [..., 2, TPG, BS, LPG] -> take each group's first KVH/TPG lanes
+    s = scales.astype(jnp.float32)
+    if scales.shape[-4] == 1:  # packed: split the lane tile back out
+        s = jnp.concatenate(
+            [s[..., :kvh_g],
+             s[..., V_SCALE_LANE:V_SCALE_LANE + kvh_g]], axis=-4)
+    else:
+        # [..., 2, TPG, BS, LPG] -> each group's first KVH/TPG lanes
+        s = s[..., :kvh_g]
     # -> [..., 2, TPG, KVH/TPG, BS] -> [..., 2, KVH, BS]
-    s = scales.astype(jnp.float32)[..., :kvh_g]
     s = jnp.swapaxes(s, -1, -2)  # [..., 2, TPG, LPGslice, BS]
     s = s.reshape(s.shape[:-3] + (kvh, s.shape[-1]))
     return x * s[..., None]
@@ -534,6 +583,13 @@ def kv_scales_shape(
     TPG shards with the payload's head axis; each group's first
     KVH/TPG lanes are live.
 
+    The K/V axis (position 2) is 1 when the shard's kv heads fit half
+    a lane tile (kvh/tp <= V_SCALE_LANE): K and V scales then share a
+    single [BS, SCALE_LANES] tile per page (K at lanes [0, kvh_g), V
+    at [V_SCALE_LANE, V_SCALE_LANE + kvh_g)) — half the scale HBM and
+    half the per-chunk scale DMA bytes. Larger head counts keep the
+    two-plane layout.
+
     Every group is a FULL 128-lane tile even under tensor parallelism:
     Mosaic requires whole-page HBM DMAs to end on a 128-lane-aligned
     axis (measured: a 32-lane scale-page copy fails to compile —
@@ -555,4 +611,5 @@ def kv_scales_shape(
     assert num_kv_heads // tp <= SCALE_LANES, (
         f"kv heads per shard ({num_kv_heads}/{tp}) exceed scale lanes "
         f"per group ({SCALE_LANES})")
-    return (num_layers, num_blocks, 2, tp, block_size, SCALE_LANES)
+    planes = 1 if num_kv_heads // tp <= V_SCALE_LANE else 2
+    return (num_layers, num_blocks, planes, tp, block_size, SCALE_LANES)

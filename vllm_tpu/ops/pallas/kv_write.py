@@ -104,10 +104,10 @@ def _write_kernel(
         keep = jnp.logical_or(is_pad, tok != off)
         page_buf[i] = jnp.where(keep, page, kv_ref[i][...][:, :, None, :])
         if quantized:
-            spage = spage_buf[i][...]  # [2, TPG(=1), BS, LPG] (one tp group)
+            spage = spage_buf[i][...]  # [SP, TPG(=1), BS, LPG] (one tp group)
             tok = jax.lax.broadcasted_iota(jnp.int32, spage.shape, 2)
             keep = jnp.logical_or(is_pad, tok != off)
-            # scale_ref[i]: [2, TPG, LPG] -> broadcast over the BS axis.
+            # scale_ref[i]: [SP, TPG, LPG] -> broadcast over the BS axis.
             spage_buf[i] = jnp.where(keep, spage,
                                      scale_ref[i][...][:, :, None, :])
 
@@ -148,8 +148,10 @@ def pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kv scale rows
             pl.BlockSpec(memory_space=pl.ANY),  # cache scales
         ]
-        # Scales are [L, NB, 2, TPG, BS, LPG]; the kernel merges one tp
-        # group's scale page, so the TPG axis must be local (size 1).
+        # Scales are [L, NB, SP, TPG, BS, LPG] (SP = 1 packed K+V lane
+        # tile or 2 separate planes — the merge below is generic over
+        # SP); the kernel merges one tp group's scale page, so the TPG
+        # axis must be local (size 1).
         assert scales.shape[-3] == 1, (
             f"kv-write kernel needs a single-tp-group scale view, got "
             f"{scales.shape} — wrap the call in shard_map for tp>1")

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.cache import KVCache, unpack_kv_int4
+from vllm_tpu.ops.cache import KVCache, V_SCALE_LANE, unpack_kv_int4
 
 _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
@@ -214,20 +214,25 @@ def _decode_kernel(
             k = kb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             v = vb.swapaxes(0, 1).reshape(kvh, chunk_tokens, d)
             if quantized:
-                sb = s_buf[slot][...]  # [P, 2, TPG(=1), BS, LPG]
+                sb = s_buf[slot][...]  # [P, SP, TPG(=1), BS, LPG]
+                packed_scales = sb.shape[1] == 1
 
                 def chunk_scales(which):
-                    # Pick K or V, then THIS shard's (only) tp group:
-                    # [P, 2, TPG, BS, LPG] -> [P, BS, LPG] -> flatten
-                    # pages into tokens -> keep the local kv heads'
-                    # lanes -> [KVH, CHUNK] (small-array transposes;
-                    # the payload stays put).
-                    s = jax.lax.index_in_dim(sb, which, axis=1,
-                                             keepdims=False)
+                    # Pick K or V — a plane for the 2-plane layout, a
+                    # lane offset (0 / V_SCALE_LANE) for the packed
+                    # tile — then THIS shard's (only) tp group:
+                    # [P, SP, TPG, BS, LPG] -> [P, BS, LPG] -> flatten
+                    # pages into tokens -> the kv heads' lanes ->
+                    # [KVH, CHUNK] (small-array transposes; the
+                    # payload stays put).
+                    s = jax.lax.index_in_dim(
+                        sb, 0 if packed_scales else which, axis=1,
+                        keepdims=False)
                     s = jax.lax.index_in_dim(s, 0, axis=1, keepdims=False)
+                    off = which * V_SCALE_LANE if packed_scales else 0
                     s = jax.lax.slice_in_dim(
-                        s.reshape(chunk_tokens, sb.shape[-1]), 0, kvh,
-                        axis=1)
+                        s.reshape(chunk_tokens, sb.shape[-1]), off,
+                        off + kvh, axis=1)
                     return s.swapaxes(0, 1).astype(jnp.float32)
 
                 sck = chunk_scales(0)
@@ -294,7 +299,8 @@ def pallas_paged_decode_attention(
     ]
     operands = [q_grouped, data]
     if quantized:
-        # Scales are [L, NB, 2, TPG, BS, LPG]; the kernel sees ONE tp
+        # Scales are [L, NB, SP, TPG, BS, LPG] (SP = 1 packed K+V lane
+        # tile or 2 separate planes); the kernel sees ONE tp
         # group of that layout (TPG axis local size 1): its local kv
         # heads in the first KVH lanes. Under tensor parallelism
         # shard_map hands each shard its own group (ops/attention.py);
