@@ -45,7 +45,10 @@ def main():
     parser.add_argument(
         "--configs", nargs="+",
         default=["fp:bfloat16", "int8kv:int8", "int8w:int8+w",
-                 "w8a8:int8+w8a8", "int4w:int8+w4", "int4kv:int4+w4"])
+                 "w8a8:int8+w8a8", "int4w:int8+w4", "int4kv:int4+w4",
+                 # The shipped bench headline combination (bench.py
+                 # defaults): int8-w8a8 linears + INT4 KV.
+                 "int4kv8w:int4+w8a8"])
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend + interpreted "
                         "Pallas (the container pins JAX_PLATFORMS "

@@ -36,7 +36,10 @@ def naive_attention(q, k, v, scale):
 
 @pytest.mark.parametrize("quantized", [False, True])
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
-@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
+# (96, 96): kv heads > V_SCALE_LANE engage the SP=2 two-plane scale
+# layout in the decode kernel's chunk-scale handling — otherwise
+# unexercised (every supported model family packs into SP=1).
+@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2), (96, 96)])
 def test_paged_decode_attention_vs_naive(H, KVH, impl, quantized):
     rng = np.random.default_rng(0)
     L, NB, MB = 2, 16, 4
@@ -111,7 +114,7 @@ def test_prefill_attention_packed_segments(H, KVH, impl):
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
-@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2)])
+@pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2), (96, 96)])
 def test_paged_decode_attention_int4(H, KVH, impl):
     """INT4 nibble-packed cache (K low nibble, V high) vs a naive
     reference over the dequantized values."""

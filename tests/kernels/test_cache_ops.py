@@ -278,6 +278,51 @@ def test_int4_probe_reraises_python_bugs(monkeypatch):
     assert not cache_mod.int4_kv_pallas_ok()
 
 
+@pytest.mark.parametrize("int4", [False, True])
+def test_write_kv_two_plane_scales_kvh_gt_64(int4):
+    """kv heads per shard > V_SCALE_LANE keep the SP=2 two-plane scale
+    layout. Every supported 7B-65B family fits the packed SP=1 tile,
+    so nothing else exercises the SP=2 branches of _combine_quantize /
+    dequantize_pages / the write kernel (round-4 advisor): this
+    round-trips write (XLA + Pallas-interpret) -> dequantize at
+    KVH=96."""
+    from vllm_tpu.ops.cache import SCALE_DTYPE, V_SCALE_LANE
+    from vllm_tpu.ops.pallas.kv_write import pallas_write_kv_tokens
+    KVH2 = 96
+    assert KVH2 > V_SCALE_LANE
+    shape = kv_cache_shape(L, KVH2, NB, BS, D, kv_planes=1 if int4 else 2)
+    sshape = kv_scales_shape(L, KVH2, NB, BS)
+    assert sshape[2] == 2  # two-plane layout engaged
+    cache = KVCache(jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(sshape, SCALE_DTYPE))
+    rng = np.random.default_rng(21)
+    T = 4
+    k = rng.standard_normal((T, KVH2, D), dtype=np.float32) * 2.0
+    v = rng.standard_normal((T, KVH2, D), dtype=np.float32) * 0.1
+    slots = np.array([0, 5, 17, int(PAD_SLOT)], dtype=np.int32)
+
+    ref = write_kv(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                   jnp.asarray(slots))
+    got = pallas_write_kv_tokens(cache, 1, jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(slots))
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(ref.data))
+    np.testing.assert_allclose(np.asarray(got.scales),
+                               np.asarray(ref.scales), rtol=1e-6)
+
+    deq = np.asarray(dequantize_pages(ref.data, ref.scales))
+    qstep = 7 if int4 else 127
+    for t, slot in enumerate(slots):
+        if slot == int(PAD_SLOT):
+            continue
+        b, off = slot // BS, slot % BS
+        for which, x in ((0, k[t]), (1, v[t])):
+            a = np.abs(x).max()
+            np.testing.assert_allclose(
+                deq[1, b, which, :, off], x,
+                atol=a / qstep * 1.01 + a / 256 + 1e-6)
+
+
 def test_copy_and_swap_int4():
     cache = make_cache_int4(3)
     src = np.array([1, 3], dtype=np.int32)

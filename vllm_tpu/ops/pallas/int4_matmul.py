@@ -151,13 +151,15 @@ def _pick_bo(t: int, in2: int, out: int, group: int) -> int:
     itself back under the ceiling."""
     budget = 88 * 1024 * 1024  # headroom under the 100 MB Mosaic limit
     best = 128
+    ng = in2 // group
     for bo in range(128, out + 1, 128):
         if out % bo:
             continue
         working = (t * 2 * in2            # resident int8 activations
                    + 2 * in2 * bo         # double-buffered packed strip
                    + 3 * t * bo * 4       # o_ref + f32 acc + int32 z
-                   + group * bo * 12)     # unpack temps (int32 + 2 nibbles)
+                   + group * bo * 12      # unpack temps (int32 + 2 nibbles)
+                   + 2 * ng * 2 * bo * 4)  # double-buffered f32 scale tile
         if working <= budget and bo > best:
             best = bo
     return best
