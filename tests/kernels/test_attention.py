@@ -116,8 +116,8 @@ def test_prefill_attention_packed_segments(H, KVH, impl):
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 @pytest.mark.parametrize("H,KVH", [(4, 4), (4, 2), (96, 96)])
 def test_paged_decode_attention_int4(H, KVH, impl):
-    """INT4 nibble-packed cache (K low nibble, V high) vs a naive
-    reference over the dequantized values."""
+    """INT4 nibble-packed cache (biased K low nibble, V high) vs a
+    naive reference over the dequantized values."""
     rng = np.random.default_rng(2)
     L, NB, MB = 2, 16, 4
     B = 4
@@ -130,7 +130,9 @@ def test_paged_decode_attention_int4(H, KVH, impl):
     scales = np.abs(kv_data).max(-1) / 7.0 + 1e-10  # [L, NB, 2, KVH, BS]
     codes = np.clip(np.round(kv_data / scales[..., None]), -7,
                     7).astype(np.int8)
-    packed = ((codes[:, :, 0] & 0xF) |
+    # Biased-low packing (ops/cache.py pack_kv_int4): byte as signed
+    # int8 == 16*v + (k+8).
+    packed = (((codes[:, :, 0] + 8) & 0xF) |
               (codes[:, :, 1] << 4)).astype(np.int8)[:, :, None]
     scales_page = pack_scale_pages(scales)
     kv_cache = KVCache(jnp.asarray(packed), jnp.asarray(scales_page))

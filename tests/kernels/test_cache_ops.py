@@ -187,9 +187,15 @@ def test_pack_unpack_int4_roundtrip():
     rng = np.random.default_rng(11)
     k = jnp.asarray(rng.integers(-7, 8, (5, KVH, D), dtype=np.int8))
     v = jnp.asarray(rng.integers(-7, 8, (5, KVH, D), dtype=np.int8))
-    ku, vu = unpack_kv_int4(pack_kv_int4(k, v))
+    packed = pack_kv_int4(k, v)
+    ku, vu = unpack_kv_int4(packed)
     np.testing.assert_array_equal(np.asarray(ku), np.asarray(k))
     np.testing.assert_array_equal(np.asarray(vu), np.asarray(v))
+    # The identity the decode kernel relies on (biased-low packing):
+    # the raw byte read as signed int8 is exactly 16*v + (k+8).
+    np.testing.assert_array_equal(
+        np.asarray(packed, np.int32),
+        16 * np.asarray(v, np.int32) + np.asarray(k, np.int32) + 8)
 
 
 def test_write_kv_int4_quantizes_on_write():

@@ -112,12 +112,17 @@ def test_int4_pack_roundtrip_exact():
     lo, hi = unpack_int4(ql.w_packed)
     assert int(jnp.min(lo)) >= -7 and int(jnp.max(lo)) <= 7
     assert int(jnp.min(hi)) >= -7 and int(jnp.max(hi)) <= 7
-    # Repack matches the stored bytes.
-    repacked = jnp.bitwise_or(jnp.bitwise_and(lo.astype(jnp.int32), 0xF),
-                              jnp.left_shift(hi.astype(jnp.int32),
-                                             4)).astype(jnp.int8)
+    # Repack matches the stored bytes (biased-low layout: the byte as
+    # signed int8 is 16*hi + (lo+8); see quant.py _quantize_one_int4).
+    repacked = jnp.bitwise_or(
+        jnp.bitwise_and(lo.astype(jnp.int32) + 8, 0xF),
+        jnp.left_shift(hi.astype(jnp.int32), 4)).astype(jnp.int8)
     np.testing.assert_array_equal(np.asarray(repacked),
                                   np.asarray(ql.w_packed))
+    # The identity the Pallas kernel relies on: raw byte == 16*hi+lo+8.
+    np.testing.assert_array_equal(
+        np.asarray(ql.w_packed, np.int32),
+        16 * np.asarray(hi, np.int32) + np.asarray(lo, np.int32) + 8)
 
 
 def test_int4_dequant_error_bound():
@@ -178,5 +183,9 @@ def test_int4_pallas_kernel_matches_xla():
         got = pallas_int4_matmul(x, ql)
     finally:
         os.environ.pop("VLLM_TPU_FORCE_PALLAS_OPS", None)
+    # Both paths compute the same exact integer dots; they differ only
+    # in f32 association (the kernel folds the +8-bias correction as a
+    # separate rowsums @ s_lo term, the XLA path scales (x @ lo)
+    # directly), so agreement is to f32 rounding, not bit-exact.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)

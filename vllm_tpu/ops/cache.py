@@ -261,19 +261,24 @@ def quantize_kv(x: jnp.ndarray,
 
 def pack_kv_int4(k_codes: jnp.ndarray, v_codes: jnp.ndarray) -> jnp.ndarray:
     """Pack per-token K/V int4 codes (int8 carriers in [-7, 7]) into
-    one byte each: K in the low nibble, V in the high nibble."""
-    return jnp.bitwise_or(jnp.bitwise_and(k_codes, 0xF),
+    one byte each: K+8 (unsigned, [1, 15]) in the low nibble, V in the
+    high nibble.
+
+    The bias makes the byte read as signed int8 EXACTLY 16*v + (k+8),
+    which the decode kernel exploits to skip nibble sign-extension:
+    one bitwise AND recovers the K codes (biased; corrected by a
+    per-sequence scalar), and V never unpacks at all — the raw bytes
+    feed the MXU and the kernel subtracts the low-nibble contribution
+    with a second dot (ops/pallas/paged_attention.py)."""
+    return jnp.bitwise_or(jnp.bitwise_and(k_codes + 8, 0xF),
                           jnp.left_shift(v_codes, 4)).astype(jnp.int8)
 
 
 def unpack_kv_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of pack_kv_int4 -> (k_codes, v_codes) as int8.
-
-    Sign-extends through int32 shifts — the same Mosaic-validated
-    idiom as the int4 weight kernel (ops/pallas/int4_matmul.py)."""
+    """Inverse of pack_kv_int4 -> (k_codes, v_codes) as int8."""
     p = packed.astype(jnp.int32)
-    k = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
-    v = jnp.right_shift(p, 4).astype(jnp.int8)
+    k = (jnp.bitwise_and(p, 0xF) - 8).astype(jnp.int8)
+    v = jnp.right_shift(p, 4).astype(jnp.int8)  # arithmetic: floors to v
     return k, v
 
 

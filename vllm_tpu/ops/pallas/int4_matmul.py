@@ -94,7 +94,7 @@ def probe_int4_kernel() -> bool:
 def _int4_kernel(
     xq_ref,  # [T, in] int8 VMEM (whole array, resident)
     wp_ref,  # [in/2, BO] int8 VMEM (this output tile's packed strip)
-    s_ref,  # [NG, 2, BO] f32 VMEM group scales (group axis leading)
+    s_ref,  # [NG, 2, BO] f32 VMEM scales: [g, 0] = s_lo, [g, 1] = s_hi/16
     o_ref,  # [T, BO] out block
     *,
     group: int,
@@ -105,28 +105,38 @@ def _int4_kernel(
 
     def body(g, acc):
         off = g * group
-        # One packed strip slice covers input rows [off, off+G) (low
-        # nibbles) and [in/2 + off, ...) (high nibbles).
-        p = wp_ref[pl.ds(off, group), :].astype(jnp.int32)
-        hi = jnp.right_shift(p, 4).astype(jnp.int8)
-        lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
-        for h, nib in ((0, lo), (1, hi)):
-            # Slice the refs, not loaded values: Mosaic supports traced
-            # tile-aligned starts on VMEM ref loads, but NOT dynamic
-            # lane/sublane extraction from an already-loaded vector
-            # (the round-1 "only 2D gather" class of failures). Both
-            # offsets are multiples of 128 lanes (group % 128 == 0 and
-            # in2 % group == 0 gate the Pallas path).
-            xs = xq_ref[:, pl.ds(h * in2 + off, group)]
-            z = jax.lax.dot_general(
-                xs, nib, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)  # [T, BO]
-            # Scales arrive [NG, 2, BO] so the traced group index g
-            # lands on the LEADING axis — the same dynamic-index shape
-            # the validated decode kernel uses for page DMA.
-            sv = s_ref[pl.ds(g, 1), h, :]  # [1, BO] f32
-            acc = acc + z.astype(jnp.float32) * sv
-        return acc
+        # Biased-low packing (ops/quant.py): the packed byte read as
+        # signed int8 IS 16*hi + ulo with ulo = lo+8 in [1, 15]. So the
+        # strip feeds the MXU raw, and the only per-byte VPU work is
+        # ONE bitwise AND for ulo — the previous widen-to-int32 +
+        # 3-shift sign-extension was ~6 vector ops per byte and made
+        # the kernel VPU-bound (~4x off its DMA roofline at decode row
+        # counts; tools/int4_matmul_microbench.py).
+        praw = wp_ref[pl.ds(off, group), :]  # int8 [G, BO]
+        ulo = jnp.bitwise_and(praw, 15)  # int8, = lo + 8
+        # Slice the refs, not loaded values: Mosaic supports traced
+        # tile-aligned starts on VMEM ref loads, but NOT dynamic
+        # lane/sublane extraction from an already-loaded vector. Both
+        # offsets are multiples of 128 lanes (group % 128 == 0 and
+        # in2 % group == 0 gate the Pallas path).
+        x_lo = xq_ref[:, pl.ds(off, group)]
+        x_hi = xq_ref[:, pl.ds(in2 + off, group)]
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        a = dot(x_lo, ulo)  # = x_lo @ lo + 8*rowsum(x_lo)  [T, BO]
+        b = dot(x_hi, praw)  # = 16*(x_hi @ hi) + x_hi @ ulo
+        c = dot(x_hi, ulo)
+        # Scales arrive [NG, 2, BO] so the traced group index g lands
+        # on the LEADING axis — the same dynamic-index shape the
+        # validated decode kernel uses for page DMA. Plane 1 is
+        # pre-divided by 16 so (b - c) folds in one multiply; the
+        # +8*rowsum bias is corrected OUTSIDE the kernel as one tiny
+        # [T, NG] @ [NG, out] XLA dot (8 * rowsums @ s_lo).
+        s_lo = s_ref[pl.ds(g, 1), 0, :]  # [1, BO] f32
+        s_hi16 = s_ref[pl.ds(g, 1), 1, :]  # [1, BO] f32, = s_hi / 16
+        return (acc + a.astype(jnp.float32) * s_lo +
+                (b - c).astype(jnp.float32) * s_hi16)
 
     acc = jax.lax.fori_loop(0, num_groups,
                             body, jnp.zeros((T, o_ref.shape[1]),
@@ -157,8 +167,8 @@ def _pick_bo(t: int, in2: int, out: int, group: int) -> int:
             continue
         working = (t * 2 * in2            # resident int8 activations
                    + 2 * in2 * bo         # double-buffered packed strip
-                   + 3 * t * bo * 4       # o_ref + f32 acc + int32 z
-                   + group * bo * 12      # unpack temps (int32 + 2 nibbles)
+                   + 6 * t * bo * 4       # o_ref + f32 acc + int32 a/b/c/b-c
+                   + group * bo * 4       # ulo (int8 + widening slack)
                    + 2 * ng * 2 * bo * 4)  # double-buffered f32 scale tile
         if working <= budget and bo > best:
             best = bo
@@ -176,6 +186,15 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         # the numerically-identical XLA formulation.
         return int4_matmul_xla(x, ql)
     xq, xs = quantize_activations_int8(x)
+    # Kernel-side scales: plane 1 pre-divided by 16 (the kernel's
+    # (b - c) partial is 16x the true hi-nibble dot).
+    sk = ql.scale.astype(jnp.float32) * jnp.asarray(
+        [1.0, 1.0 / 16.0], jnp.float32)[None, :, None]
+    # The biased low nibble adds 8*rowsum(x_lo_g) per group to the
+    # kernel's accumulator; subtract it with one tiny XLA dot.
+    rs = jnp.sum(xq[:, :in2].reshape(x.shape[0], ng, group)
+                 .astype(jnp.float32), axis=-1)  # [T, NG]
+    bias = 8.0 * jax.lax.dot(rs, ql.scale[:, 0, :].astype(jnp.float32))
     bo = _pick_bo(x.shape[0], in2, out, group)
     kernel = pl.pallas_call(
         functools.partial(_int4_kernel, group=group, num_groups=ng),
@@ -202,5 +221,5 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
-    y = kernel(xq, ql.w_packed, ql.scale.astype(jnp.float32))
-    return (y * xs).astype(x.dtype)
+    y = kernel(xq, ql.w_packed, sk)
+    return ((y - bias) * xs).astype(x.dtype)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.cache import KVCache, V_SCALE_LANE, unpack_kv_int4
+from vllm_tpu.ops.cache import KVCache, V_SCALE_LANE
 
 _NEG_INF = -1e30
 _PAGES_PER_CHUNK = 16  # pages fetched + processed per pipeline stage
@@ -171,6 +171,11 @@ def _decode_kernel(
                                      or kv_hbm.dtype == jnp.float32) else
                      jnp.bfloat16)
         qm = q.astype(mxu_dtype)
+        if packed:
+            # The biased K nibble (k+8, see ops/cache.py pack_kv_int4)
+            # shifts every raw QK score by 8*sum_d(q); precompute the
+            # correction once per sequence.
+            qsum8 = 8.0 * jnp.sum(q, axis=-1)  # [KVH, G] f32
 
         def body(i, carry):
             m, l, acc = carry  # [KVH, G], [KVH, G], [KVH, G, D]
@@ -192,12 +197,18 @@ def _decode_kernel(
             # lax.index_in_dim: jnp's mixed int/slice indexing lowers
             # through a gather Mosaic doesn't support.
             if packed:
-                # INT4: one plane, K in the low nibble, V in the high.
-                # unpack_kv_int4 sign-extends through int32 shifts (the
-                # Mosaic-validated idiom from the int4 weight kernel);
-                # the int8 codes then ride the same MXU path as int8 KV.
-                kb, vb = unpack_kv_int4(
-                    jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False))
+                # INT4: one plane, byte = 16*v + (k+8). The biased-low
+                # packing (ops/cache.py pack_kv_int4) means V NEVER
+                # unpacks: the raw bytes feed the MXU directly and a
+                # second dot against the low-nibble codes subtracts
+                # their contribution. K needs ONE bitwise AND. The
+                # previous sign-extending unpack (int32 widen + 3
+                # shifts per byte) was VPU work of ~the same cost as
+                # the halved page DMA it was supposed to save — int4
+                # measured ~4% SLOWER than int8 at equal concurrency.
+                praw = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
+                kb = jnp.bitwise_and(praw, 15)  # int8, = k + 8
+                vb = praw
             else:
                 kb = jax.lax.index_in_dim(kvb, 0, axis=1, keepdims=False)
                 vb = jax.lax.index_in_dim(kvb, 1, axis=1, keepdims=False)
@@ -237,9 +248,16 @@ def _decode_kernel(
 
                 sck = chunk_scales(0)
                 scv = chunk_scales(1)
+                if packed:
+                    # The V "codes" are raw bytes = 16*v + u; folding
+                    # 1/16 into the V scales makes pw @ bytes - pw @ u
+                    # come out in true dequantized units.
+                    scv = scv * 0.0625
             s = jax.lax.dot_general(
                 qm, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, CHUNK]
+            if packed:
+                s = s - qsum8[..., None]  # de-bias: q @ (k+8) -> q @ k
             if quantized:
                 s = s * sck[:, None, :]
             pos = i * chunk_tokens + jax.lax.broadcasted_iota(
@@ -252,9 +270,18 @@ def _decode_kernel(
             l_new = l * corr + jnp.sum(p, axis=-1)
             if quantized:
                 p = p * scv[:, None, :]
+            pm = p.astype(mxu_dtype)
             pv = jax.lax.dot_general(
-                p.astype(mxu_dtype), v, (((2,), (1,)), ((0,), (0,))),
+                pm, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # [KVH, G, D]
+            if packed:
+                # Subtract the low-nibble (biased K) contribution from
+                # the raw-byte dot: pw @ (16*v + u) - pw @ u = 16*pw@v,
+                # and scv carries the 1/16. One extra MXU dot in a
+                # DMA-bound kernel beats a per-byte VPU unpack.
+                pv = pv - jax.lax.dot_general(
+                    pm, k, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
             acc_new = acc * corr[..., None] + pv
             return m_new, l_new, acc_new
 
@@ -330,8 +357,8 @@ def pallas_paged_decode_attention(
                           packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
-        # The int4 unpack widens a chunk's payload through int32 temps
-        # (~4x the packed bytes); raise the scoped-VMEM ceiling so
+        # The int4 path needs headroom for the low-nibble AND temp and
+        # the extra dot operand; raise the scoped-VMEM ceiling so
         # Mosaic doesn't reject the kernel at larger chunk shapes.
         compiler_params=(pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024) if packed else None),

@@ -110,7 +110,14 @@ def _quantize_one_int4(w: jnp.ndarray) -> Int4Linear:
                  _INT4_MAX).astype(jnp.int8)
     lo = q[0].reshape(in_dim // 2, w.shape[-1])
     hi = q[1].reshape(in_dim // 2, w.shape[-1])
-    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+    # Biased-low packing: the LOW nibble stores lo+8 (unsigned, [1, 15])
+    # so the byte read as signed int8 is exactly 16*hi + (lo+8). The
+    # matmul kernel exploits that identity to skip nibble sign-extension
+    # entirely: x_hi @ byte = 16*(x_hi @ hi) + x_hi @ ulo, and
+    # x_lo @ ulo = x_lo @ lo + 8*rowsum(x_lo) — one bitwise AND per
+    # byte (ulo) replaces the widen+3-shift unpack that made the kernel
+    # VPU-bound (see ops/pallas/int4_matmul.py).
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo + 8, 0xF),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
     # Store group-axis-leading ([NG, 2, out]) — one transpose here
     # instead of one per matmul call in the step program.
@@ -138,11 +145,14 @@ def quantize_linear_int4(w: jnp.ndarray) -> Int4Linear:
 
 
 def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[.., in/2, out] packed bytes -> (low, high) int8 nibble planes
-    (sign-extended 4-bit codes)."""
+    """[.., in/2, out] packed bytes -> (low, high) int8 nibble planes.
+
+    byte = 16*hi + (lo+8) (see _quantize_one_int4): the arithmetic
+    right shift floors 16*hi + [1,15] back to hi for any sign, and the
+    low nibble de-biases with one subtract."""
     p = packed.astype(jnp.int32)
     hi = jnp.right_shift(p, 4).astype(jnp.int8)  # arithmetic: sign-extends
-    lo = jnp.right_shift(jnp.left_shift(p, 28), 28).astype(jnp.int8)
+    lo = (jnp.bitwise_and(p, 0xF) - 8).astype(jnp.int8)
     return lo, hi
 
 
