@@ -165,15 +165,18 @@ def test_int4_matmul_xla_matches_dequant():
     assert err < 0.01, err
 
 
-def test_int4_pallas_kernel_matches_xla():
+@pytest.mark.parametrize("T", [8, 256])
+def test_int4_pallas_kernel_matches_xla(T):
     """The Pallas fused-dequant kernel (interpret mode) reproduces the
-    XLA w4a8 formulation on MXU-sized shapes."""
+    XLA w4a8 formulation on MXU-sized shapes — both static variants:
+    T=8 (narrow rows, three-dot biased-byte) and T=256 (wide rows,
+    hi-nibble unpack; _WIDE_ROWS_MIN)."""
     import os
     import numpy as np
     from vllm_tpu.ops.pallas.int4_matmul import pallas_int4_matmul
     from vllm_tpu.ops.quant import int4_matmul_xla, quantize_linear_int4
     rng = np.random.default_rng(4)
-    in_dim, out, T = 512, 256, 8
+    in_dim, out = 512, 256
     w = jnp.asarray(rng.standard_normal((in_dim, out)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((T, in_dim)), jnp.float32)
     ql = quantize_linear_int4(w)

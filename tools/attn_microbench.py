@@ -12,11 +12,18 @@ Keep runs serial — the chip is single-tenant.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vllm_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -73,12 +80,16 @@ def main():
         return jax.lax.fori_loop(0, L, body,
                                  jnp.zeros(q.shape, jnp.float32))
 
-    out = step(q, cache, tables, lens)
-    jax.block_until_ready(out)
+    # Time via an actual VALUE transfer (np.asarray), not
+    # block_until_ready: on the axon platform block_until_ready was
+    # observed returning early (TB/s "bandwidths"); a device_get
+    # cannot complete before the computation has. TPU executions run
+    # in order, so fetching the last step's output waits for all.
+    np.asarray(step(q, cache, tables, lens))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(q, cache, tables, lens)
-    jax.block_until_ready(out)
+    np.asarray(out)
     ms = (time.perf_counter() - t0) / args.iters * 1000
 
     from vllm_tpu.ops.pallas.paged_attention import _pages_per_chunk

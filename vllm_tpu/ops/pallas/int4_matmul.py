@@ -77,10 +77,15 @@ def probe_int4_kernel() -> bool:
         rng = np.random.default_rng(0)
         w = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
         ql = quantize_linear_int4(w)
-        x = jnp.asarray(rng.standard_normal((8, 256)), jnp.bfloat16)
-        got = np.asarray(pallas_int4_matmul(x, ql), np.float32)
-        want = np.asarray(int4_matmul_xla(x, ql), np.float32)
-        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+        # Both static variants: narrow rows (three-dot biased-byte,
+        # decode) and wide rows (hi-nibble VPU unpack, prefill) — an
+        # unprobed variant would first compile inside a fused step
+        # program, where a Mosaic rejection aborts engine startup.
+        for t in (8, _WIDE_ROWS_MIN):
+            x = jnp.asarray(rng.standard_normal((t, 256)), jnp.bfloat16)
+            got = np.asarray(pallas_int4_matmul(x, ql), np.float32)
+            want = np.asarray(int4_matmul_xla(x, ql), np.float32)
+            np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
         return True
     except Exception as exc:  # Mosaic compile / numerics mismatch
         logger.warning(
@@ -91,14 +96,26 @@ def probe_int4_kernel() -> bool:
         return False
 
 
+# Row count at/above which the kernel unpacks the high nibble on the
+# VPU and runs TWO dots per group instead of the three-dot biased-byte
+# identity. The tradeoff: the third dot costs T*G*BO extra MXU MACs,
+# the unpack costs ~2*G*BO VPU ops — they cross near T ~ MXU/VPU
+# throughput ratio (~100 on v5e). Below the threshold (decode rows)
+# the kernel is weight-DMA-bound and the extra dot is free; above it
+# (prefill rows) it is MXU-bound and the unpack hides under the dots.
+_WIDE_ROWS_MIN = 256
+
+
 def _int4_kernel(
     xq_ref,  # [T, in] int8 VMEM (whole array, resident)
     wp_ref,  # [in/2, BO] int8 VMEM (this output tile's packed strip)
-    s_ref,  # [NG, 2, BO] f32 VMEM scales: [g, 0] = s_lo, [g, 1] = s_hi/16
+    s_ref,  # [NG, 2, BO] f32 VMEM scales: [g, 0] = s_lo,
+    #         [g, 1] = s_hi (wide rows) or s_hi/16 (narrow rows)
     o_ref,  # [T, BO] out block
     *,
     group: int,
     num_groups: int,
+    wide_rows: bool,
 ):
     T = xq_ref.shape[0]
     in2 = wp_ref.shape[0]
@@ -124,19 +141,29 @@ def _int4_kernel(
         dot = functools.partial(jax.lax.dot_general,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        a = dot(x_lo, ulo)  # = x_lo @ lo + 8*rowsum(x_lo)  [T, BO]
-        b = dot(x_hi, praw)  # = 16*(x_hi @ hi) + x_hi @ ulo
-        c = dot(x_hi, ulo)
         # Scales arrive [NG, 2, BO] so the traced group index g lands
         # on the LEADING axis — the same dynamic-index shape the
-        # validated decode kernel uses for page DMA. Plane 1 is
-        # pre-divided by 16 so (b - c) folds in one multiply; the
-        # +8*rowsum bias is corrected OUTSIDE the kernel as one tiny
+        # validated decode kernel uses for page DMA. The +8*rowsum
+        # bias from ulo is corrected OUTSIDE the kernel as one tiny
         # [T, NG] @ [NG, out] XLA dot (8 * rowsums @ s_lo).
         s_lo = s_ref[pl.ds(g, 1), 0, :]  # [1, BO] f32
-        s_hi16 = s_ref[pl.ds(g, 1), 1, :]  # [1, BO] f32, = s_hi / 16
+        s_h = s_ref[pl.ds(g, 1), 1, :]  # [1, BO] f32
+        a = dot(x_lo, ulo)  # = x_lo @ lo + 8*rowsum(x_lo)  [T, BO]
+        if wide_rows:
+            # MXU-bound regime: unpack hi on the VPU (arithmetic int8
+            # shift floors 16*hi + [1,15] to hi) and run one dot for
+            # it — 2 dots/group, the unpack hides under the MXU.
+            h = dot(x_hi, jnp.right_shift(praw, 4))
+            return (acc + a.astype(jnp.float32) * s_lo +
+                    h.astype(jnp.float32) * s_h)
+        # DMA-bound regime: no hi unpack at all — dot the raw bytes
+        # and subtract the low-nibble contribution with a third dot;
+        # s_h arrives pre-divided by 16 so (b - c) folds in one
+        # multiply.
+        b = dot(x_hi, praw)  # = 16*(x_hi @ hi) + x_hi @ ulo
+        c = dot(x_hi, ulo)
         return (acc + a.astype(jnp.float32) * s_lo +
-                (b - c).astype(jnp.float32) * s_hi16)
+                (b - c).astype(jnp.float32) * s_h)
 
     acc = jax.lax.fori_loop(0, num_groups,
                             body, jnp.zeros((T, o_ref.shape[1]),
@@ -186,10 +213,14 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         # the numerically-identical XLA formulation.
         return int4_matmul_xla(x, ql)
     xq, xs = quantize_activations_int8(x)
-    # Kernel-side scales: plane 1 pre-divided by 16 (the kernel's
-    # (b - c) partial is 16x the true hi-nibble dot).
-    sk = ql.scale.astype(jnp.float32) * jnp.asarray(
-        [1.0, 1.0 / 16.0], jnp.float32)[None, :, None]
+    wide = x.shape[0] >= _WIDE_ROWS_MIN
+    # Kernel-side scales: for the narrow (three-dot) variant, plane 1
+    # pre-divides by 16 (the kernel's (b - c) partial is 16x the true
+    # hi-nibble dot); the wide variant dots true hi codes.
+    sk = ql.scale.astype(jnp.float32)
+    if not wide:
+        sk = sk * jnp.asarray([1.0, 1.0 / 16.0],
+                              jnp.float32)[None, :, None]
     # The biased low nibble adds 8*rowsum(x_lo_g) per group to the
     # kernel's accumulator; subtract it with one tiny XLA dot.
     rs = jnp.sum(xq[:, :in2].reshape(x.shape[0], ng, group)
@@ -197,7 +228,8 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
     bias = 8.0 * jax.lax.dot(rs, ql.scale[:, 0, :].astype(jnp.float32))
     bo = _pick_bo(x.shape[0], in2, out, group)
     kernel = pl.pallas_call(
-        functools.partial(_int4_kernel, group=group, num_groups=ng),
+        functools.partial(_int4_kernel, group=group, num_groups=ng,
+                          wide_rows=wide),
         grid=(out // bo,),
         in_specs=[
             pl.BlockSpec((x.shape[0], 2 * in2), lambda o: (0, 0),
