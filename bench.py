@@ -73,7 +73,7 @@ def llama_7b_config():
 
 def build_llm(kv_cache_dtype: str, max_num_seqs: int,
               max_num_batched_tokens: int, quantization=None,
-              num_decode_steps: int = 8):
+              num_decode_steps: int = 8, block_size: int = 16):
     from vllm_tpu import LLM
     return LLM(
         model="llama-7b-bench",
@@ -86,6 +86,7 @@ def build_llm(kv_cache_dtype: str, max_num_seqs: int,
         num_decode_steps=num_decode_steps,
         max_num_seqs=max_num_seqs,
         max_num_batched_tokens=max_num_batched_tokens,
+        block_size=block_size,
         # One program per step kind: compiles (and axon executable
         # loads) run tens of seconds each, so the bench pins single
         # buckets instead of the serving ladders.
@@ -175,6 +176,14 @@ def main():
     # quality delta -0.01% ppl, see README quality gate).
     parser.add_argument("--quantization", type=str, default="int8-w8a8")
     parser.add_argument("--num-decode-steps", type=int, default=8)
+    # 0 = auto: 32 for int4 KV, 16 otherwise. The paged-decode kernel
+    # issues 2 DMAs per fetched page from its scalar core (payload +
+    # scales); at block_size 16 the int4 config is DMA-ISSUE-bound
+    # (~0.11 us/issue, measured: int4 and int8 both 14.5 ms/step at
+    # identical page counts despite int4 moving half the bytes —
+    # tools/attn_microbench.py). 32-token pages halve the issue count
+    # and let int4's halved bytes actually bind on bandwidth.
+    parser.add_argument("--block-size", type=int, default=0)
     parser.add_argument("--quick", action="store_true",
                         help="small sanity run (8 requests)")
     parser.add_argument("--verbose", action="store_true",
@@ -200,10 +209,11 @@ def main():
         else:
             kv_dtype = "bfloat16"
     quant = None if args.quantization in ("none", "") else args.quantization
+    block_size = args.block_size or (32 if kv_dtype == "int4" else 16)
     t_start = time.perf_counter()
     llm = build_llm(kv_dtype, args.max_num_seqs,
                     args.max_num_batched_tokens, quant,
-                    args.num_decode_steps)
+                    args.num_decode_steps, block_size)
     import sys
     print(f"[startup] engine ready in "
           f"{time.perf_counter() - t_start:.1f} s (weights + precompile)",

@@ -93,7 +93,9 @@ def main():
     ms = (time.perf_counter() - t0) / args.iters * 1000
 
     from vllm_tpu.ops.pallas.paged_attention import _pages_per_chunk
-    ppc = min(_pages_per_chunk(), pages_per_seq)
+    # packed= must match the kernel's own dispatch or the reported
+    # chunk accounting (and GB fetched) is wrong for int4.
+    ppc = min(_pages_per_chunk(packed=(args.kv == "int4")), pages_per_seq)
     chunks = -(-pages_per_seq // ppc)
     pages_fetched = B * chunks * ppc * L
     page_bytes = planes * KVH * BS * D * data.dtype.itemsize

@@ -178,6 +178,11 @@ def pallas_write_kv_tokens(kv_cache, layer, k, v, slot_mapping):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
+        # The page RMW buffers one page per token: B * page_bytes of
+        # scratch (16 MB at B=128, block_size 32) — over the ~25 MB
+        # default scoped-VMEM ceiling Mosaic applies.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )
     outs = kernel(jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
