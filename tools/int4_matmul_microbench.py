@@ -42,7 +42,7 @@ SHAPES = [
     (64, 4096, 4096),
     (64, 4096, 11008),
     (64, 11008, 4096),
-    (1024, 4096, 4096),
+    (128, 4096, 11008),  # decode at max_num_seqs 128 (bucket rows)
     (1024, 4096, 11008),
     (1024, 11008, 4096),
 ]

@@ -103,7 +103,8 @@ def probe_int4_kernel() -> bool:
 # throughput ratio (~100 on v5e). Below the threshold (decode rows)
 # the kernel is weight-DMA-bound and the extra dot is free; above it
 # (prefill rows) it is MXU-bound and the unpack hides under the dots.
-_WIDE_ROWS_MIN = 256
+# Env-overridable for on-chip sweeps (read at import time).
+_WIDE_ROWS_MIN = int(os.environ.get("VLLM_TPU_INT4_WIDE_MIN", "256"))
 
 
 def _int4_kernel(
