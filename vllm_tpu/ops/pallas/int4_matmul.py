@@ -75,14 +75,18 @@ def probe_int4_kernel() -> bool:
     logger = init_logger(__name__)
     try:
         rng = np.random.default_rng(0)
-        w = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+        # in=512 -> TWO scale groups: single-group shapes cannot catch
+        # group-indexing or de-bias bugs (everything collapses to
+        # g=0), and the on-chip bf16-precision de-bias bug shipped
+        # exactly because the probe ran ng=1.
+        w = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
         ql = quantize_linear_int4(w)
         # Both static variants: narrow rows (three-dot biased-byte,
-        # decode) and wide rows (hi-nibble VPU unpack, prefill) — an
+        # decode) and wide rows (lo-nibble cancel, prefill) — an
         # unprobed variant would first compile inside a fused step
         # program, where a Mosaic rejection aborts engine startup.
         for t in (8, _WIDE_ROWS_MIN):
-            x = jnp.asarray(rng.standard_normal((t, 256)), jnp.bfloat16)
+            x = jnp.asarray(rng.standard_normal((t, 512)), jnp.bfloat16)
             got = np.asarray(pallas_int4_matmul(x, ql), np.float32)
             want = np.asarray(int4_matmul_xla(x, ql), np.float32)
             np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
@@ -110,8 +114,7 @@ _WIDE_ROWS_MIN = int(os.environ.get("VLLM_TPU_INT4_WIDE_MIN", "256"))
 def _int4_kernel(
     xq_ref,  # [T, in] int8 VMEM (whole array, resident)
     wp_ref,  # [in/2, BO] int8 VMEM (this output tile's packed strip)
-    s_ref,  # [NG, 2, BO] f32 VMEM scales: [g, 0] = s_lo,
-    #         [g, 1] = s_hi (wide rows) or s_hi/16 (narrow rows)
+    s_ref,  # [NG, 2, BO] f32 VMEM scales: [g, 0] = s_lo, [g, 1] = s_hi/16
     o_ref,  # [T, BO] out block
     *,
     group: int,
@@ -151,16 +154,19 @@ def _int4_kernel(
         s_h = s_ref[pl.ds(g, 1), 1, :]  # [1, BO] f32
         a = dot(x_lo, ulo)  # = x_lo @ lo + 8*rowsum(x_lo)  [T, BO]
         if wide_rows:
-            # MXU-bound regime: unpack hi on the VPU (arithmetic int8
-            # shift floors 16*hi + [1,15] to hi) and run one dot for
-            # it — 2 dots/group, the unpack hides under the MXU.
-            h = dot(x_hi, jnp.right_shift(praw, 4))
+            # MXU-bound regime: clear the low nibble on the VPU —
+            # praw & 0xF0 == praw - ulo == 16*hi exactly (the top
+            # nibble keeps its sign bit) — and run one dot for it:
+            # 2 dots/group, same total MACs as the int8-w8a8 path's
+            # single full-contraction dot. Bitwise AND is the one
+            # elementwise op Mosaic legalizes on packed int8 vectors
+            # here (subi and shifts both fail to lower).
+            h16 = dot(x_hi, jnp.bitwise_and(praw, -16))  # = 16*(x_hi @ hi)
             return (acc + a.astype(jnp.float32) * s_lo +
-                    h.astype(jnp.float32) * s_h)
-        # DMA-bound regime: no hi unpack at all — dot the raw bytes
-        # and subtract the low-nibble contribution with a third dot;
-        # s_h arrives pre-divided by 16 so (b - c) folds in one
-        # multiply.
+                    h16.astype(jnp.float32) * s_h)
+        # DMA-bound regime: no per-byte work on the hi side at all —
+        # dot the raw bytes and subtract the low-nibble contribution
+        # with a third dot.
         b = dot(x_hi, praw)  # = 16*(x_hi @ hi) + x_hi @ ulo
         c = dot(x_hi, ulo)
         return (acc + a.astype(jnp.float32) * s_lo +
@@ -215,18 +221,21 @@ def pallas_int4_matmul(x: jnp.ndarray, ql: Int4Linear) -> jnp.ndarray:
         return int4_matmul_xla(x, ql)
     xq, xs = quantize_activations_int8(x)
     wide = x.shape[0] >= _WIDE_ROWS_MIN
-    # Kernel-side scales: for the narrow (three-dot) variant, plane 1
-    # pre-divides by 16 (the kernel's (b - c) partial is 16x the true
-    # hi-nibble dot); the wide variant dots true hi codes.
-    sk = ql.scale.astype(jnp.float32)
-    if not wide:
-        sk = sk * jnp.asarray([1.0, 1.0 / 16.0],
-                              jnp.float32)[None, :, None]
+    # Kernel-side scales: plane 1 pre-divides by 16 — both variants'
+    # hi partial is 16x the true hi-nibble dot.
+    sk = ql.scale.astype(jnp.float32) * jnp.asarray(
+        [1.0, 1.0 / 16.0], jnp.float32)[None, :, None]
     # The biased low nibble adds 8*rowsum(x_lo_g) per group to the
     # kernel's accumulator; subtract it with one tiny XLA dot.
+    # Precision HIGHEST: TPU f32 dots default to a single bf16 pass,
+    # and rs holds integers up to group*127 (~16k) that bf16 rounds by
+    # up to ~64 — enough to corrupt the de-bias by whole code units
+    # (caught on-chip: ~half the outputs off by up to one quant step;
+    # CPU/interpret f32 is exact and never sees it).
     rs = jnp.sum(xq[:, :in2].reshape(x.shape[0], ng, group)
                  .astype(jnp.float32), axis=-1)  # [T, NG]
-    bias = 8.0 * jax.lax.dot(rs, ql.scale[:, 0, :].astype(jnp.float32))
+    bias = 8.0 * jax.lax.dot(rs, ql.scale[:, 0, :].astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
     bo = _pick_bo(x.shape[0], in2, out, group)
     kernel = pl.pallas_call(
         functools.partial(_int4_kernel, group=group, num_groups=ng,
