@@ -1,6 +1,15 @@
 """Experiment harness: which nibble-unpack formulation reaches the DMA
 roofline for the w4a8 int4 matmul kernel on v5e?
 
+SUPERSEDED (round 5): the shipped kernel moved to biased-low packing
+(quant.py stores lo+8, so the raw byte as signed int8 is 16*hi+lo+8)
+with no unpack at all on the hi side — see ops/pallas/int4_matmul.py.
+This harness predates that packing; its signed-code variants
+(int32rt/i8shift) decode the CURRENT stored bytes incorrectly and its
+timings stand only as the round-4 comparison they were. Also note two
+Mosaic legalization facts learned on hardware: packed-int8 vectors
+support bitwise AND but NOT shifts or subi.
+
 Round-4 finding (README): the int4 kernel runs ~4x off its weight-DMA
 budget. Hypothesis: the shipped unpack costs 6 VPU ops per packed byte
 (astype int32, shift, astype int8 — twice), and the VPU processes
