@@ -125,23 +125,32 @@ def _quantize_one_int4(w: jnp.ndarray) -> Int4Linear:
                       jnp.swapaxes(scale.astype(jnp.float32), 0, 1))
 
 
-@jax.jit
+_quantize_one_int4_jit = jax.jit(_quantize_one_int4)
+
+
 def quantize_linear_int4(w: jnp.ndarray) -> Int4Linear:
     """Symmetric group-wise int4 quantization of [in, out] (or
     layer-stacked [L, in, out]).
 
-    Layer-stacked leaves quantize layer-at-a-time (lax.map -> scan):
-    the int4 pipeline's reshapes and nibble-packing defeat XLA's
-    elementwise fusion, so a whole-leaf formulation materialized f32 +
-    int8-code temps of the full [L, in, out] stack (~8 GiB on 7B's MLP
-    leaf) on top of the still-resident bf16 tree — RESOURCE_EXHAUSTED
-    on a 16 GiB v5e at engine build. Per-layer temps are ~1/L of
-    that and bound the peak at bf16-tree + this leaf's outputs."""
+    Layer-stacked leaves quantize layer-at-a-time: the int4 pipeline's
+    reshapes and nibble-packing defeat XLA's elementwise fusion, so a
+    whole-leaf formulation materialized f32 + int8-code temps of the
+    full [L, in, out] stack (~8 GiB on 7B's MLP leaf) on top of the
+    still-resident bf16 tree — RESOURCE_EXHAUSTED on a 16 GiB v5e at
+    engine build. Per-layer temps are ~1/L of that and bound the peak
+    at bf16-tree + this leaf's outputs. The loop is an EAGER python
+    loop over per-layer jitted calls, not lax.map: the scan
+    formulation re-gathers the input stack and update-slices the
+    output stack every iteration, measured 124 s for ONE 7B MLP leaf
+    on a v5e (~22 min of engine build across leaves) vs 1.2 s for 32
+    eager per-layer dispatches of the identical body."""
     assert w.shape[-2] % 2 == 0, (
         f"int4 needs an even in_dim, got {w.shape[-2]}")
     if w.ndim == 3:
-        return jax.lax.map(_quantize_one_int4, w)
-    return _quantize_one_int4(w)
+        parts = [_quantize_one_int4_jit(w[i]) for i in range(w.shape[0])]
+        return Int4Linear(jnp.stack([p.w_packed for p in parts]),
+                          jnp.stack([p.scale for p in parts]))
+    return _quantize_one_int4_jit(w)
 
 
 def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
