@@ -55,7 +55,17 @@ def _use_pallas() -> bool:
         return False
     if os.environ.get("VLLM_TPU_FORCE_PALLAS_OPS"):
         return True  # tests: interpret-mode kernels off-TPU
-    return jax.default_backend() == "tpu"
+    # Opt-in on hardware (VLLM_TPU_INT4_PALLAS=1): inside the fused
+    # step programs the XLA w4a8 formulation measured FASTER end to
+    # end than this kernel (1902 vs 1446 tok/s, int4+int4 7B bench at
+    # 128 seqs, 2026-08-20) even though the kernel benches at parity
+    # standalone — the pallas_call is a fusion/overlap barrier where
+    # XLA can schedule the per-group dots with neighboring ops. Keep
+    # the kernel for shapes/configs where it wins and as the vehicle
+    # for the packing identities (the XLA path shares its unpack).
+    if os.environ.get("VLLM_TPU_INT4_PALLAS"):
+        return jax.default_backend() == "tpu"
+    return False
 
 
 def probe_int4_kernel() -> bool:
